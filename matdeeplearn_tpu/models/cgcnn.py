@@ -1,0 +1,48 @@
+"""CGCNN — crystal graph conv network (reference: matdeeplearn/models/cgcnn.py).
+
+Stack: pre-FC → gc_count × [CGConv → BatchNorm? → dropout] (no inter-conv
+activation, cgcnn.py:146) → pool → post-FC → lin_out.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from matdeeplearn_tpu.data.batching import GraphBatch
+from matdeeplearn_tpu.models.base import GNNBase
+from matdeeplearn_tpu.nn.conv import CGConv
+from matdeeplearn_tpu.nn.layers import MaskedBatchNorm
+
+
+class CGCNN(GNNBase):
+    num_features: int = 114
+    dim1: int = 64
+    dim2: int = 64
+    pre_fc_count: int = 1
+    gc_count: int = 3
+    post_fc_count: int = 1
+    pool: str = "global_mean_pool"
+    pool_order: str = "early"
+    batch_norm: bool = True
+    batch_track_stats: bool = True
+    act: str = "relu"
+    dropout_rate: float = 0.0
+    output_dim: int = 1
+    edge_resolution: int = 50
+    edge_width: float = 0.2
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, training: bool = False):
+        edge_attr = self.edge_features(batch)
+        out = self.apply_pre_fc(batch.x)
+        for i in range(self.gc_count):
+            out = CGConv(self.gc_dim, name=f"conv{i}")(
+                out, batch.edge_src, batch.edge_dst, edge_attr, batch.edge_mask
+            )
+            if self.batch_norm:
+                out = MaskedBatchNorm(
+                    track_stats=self.batch_track_stats, name=f"bn{i}"
+                )(out, mask=batch.node_mask, use_running_average=not training)
+            if self.dropout_rate > 0:
+                out = nn.Dropout(self.dropout_rate, deterministic=not training)(out)
+        return self.apply_head(out, batch)

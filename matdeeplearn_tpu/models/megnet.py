@@ -1,0 +1,130 @@
+"""MEGNet — MatErials Graph Network (reference: models/megnet.py).
+
+Per block: {e,x,u} 2-layer ReLU embed MLPs → MetaLayer(edge/node/global
+models) → residual adds (first block adds the embedded values, later blocks
+the running state — megnet.py:313-336). Early pooling concatenates
+x-pool ⊕ e-pool ⊕ u (dim3·3, or dim3·5 with set2set); edge pooling goes
+edge → source node → graph (megnet.py:342-349).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from matdeeplearn_tpu.data.batching import GraphBatch
+from matdeeplearn_tpu.models.base import GNNBase
+from matdeeplearn_tpu.nn.conv import MEGNetBlock
+from matdeeplearn_tpu.nn.layers import Linear, MLP, get_activation
+from matdeeplearn_tpu.nn.pool import Set2Set, get_pool
+from matdeeplearn_tpu.ops import segment
+
+_REDUCE = {
+    "global_mean_pool": segment.segment_mean,
+    "global_max_pool": segment.segment_max,
+    "global_sum_pool": segment.segment_sum,
+    "global_add_pool": segment.segment_sum,
+}
+
+
+class MEGNet(GNNBase):
+    num_features: int = 114
+    dim1: int = 64
+    dim2: int = 64
+    dim3: int = 64
+    pre_fc_count: int = 1
+    gc_count: int = 3
+    gc_fc_count: int = 2
+    post_fc_count: int = 1
+    pool: str = "global_mean_pool"
+    pool_order: str = "early"
+    batch_norm: bool = True
+    batch_track_stats: bool = True
+    act: str = "relu"
+    dropout_rate: float = 0.0
+    output_dim: int = 1
+    edge_resolution: int = 50
+    edge_width: float = 0.2
+
+    @property
+    def post_fc_dim(self) -> int:  # MEGNet pools dim3-wide features
+        return self.dim3
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, training: bool = False):
+        edge_attr = self.edge_features(batch)
+        fn = get_activation(self.act)
+        B = batch.num_graphs
+        n = batch.num_nodes
+
+        out = self.apply_pre_fc(batch.x)
+        x, e, u = out, None, None
+        for i in range(self.gc_count):
+            e_in = edge_attr if i == 0 else e
+            u_in = batch.u if i == 0 else u
+            e_temp = MLP((self.dim3, self.dim3), act="relu", name=f"e_embed{i}")(e_in)
+            x_temp = MLP((self.dim3, self.dim3), act="relu", name=f"x_embed{i}")(x)
+            u_temp = MLP((self.dim3, self.dim3), act="relu", name=f"u_embed{i}")(u_in)
+            x_out, e_out, u_out = MEGNetBlock(
+                self.dim3, self.gc_fc_count, act=self.act,
+                batch_norm=self.batch_norm, track_stats=self.batch_track_stats,
+                dropout_rate=self.dropout_rate, name=f"conv{i}",
+            )(
+                x_temp, e_temp, u_temp,
+                batch.edge_src, batch.edge_dst, batch.node_graph,
+                batch.edge_mask, batch.node_mask, batch.graph_mask,
+                B, training=training,
+            )
+            if i == 0:
+                x, e, u = x_out + x_temp, e_out + e_temp, u_out + u_temp
+            else:
+                x, e, u = x_out + x, e_out + e, u_out + u
+
+        if self.pool_order == "early":
+            if self.pool == "set2set":
+                x_pool = Set2Set(self.dim3, processing_steps=3, name="set2set_x")(
+                    x, batch.node_graph, batch.node_mask, B
+                )
+                e_node = segment.segment_mean(
+                    e, batch.edge_src, num_segments=n, mask=batch.edge_mask
+                )
+                e_pool = Set2Set(self.dim3, processing_steps=3, name="set2set_e")(
+                    e_node, batch.node_graph, batch.node_mask, B
+                )
+                out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
+            else:
+                reduce = _REDUCE[self.pool]
+                x_pool = reduce(
+                    x, batch.node_graph, num_segments=B + 1, mask=batch.node_mask
+                )[:B]
+                e_node = reduce(
+                    e, batch.edge_src, num_segments=n, mask=batch.edge_mask
+                )
+                e_pool = reduce(
+                    e_node, batch.node_graph, num_segments=B + 1,
+                    mask=batch.node_mask,
+                )[:B]
+                out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
+            for i in range(self.post_fc_count):
+                out = Linear(self.dim2, name=f"post_lin{i}")(out)
+                out = fn(out)
+            out = Linear(self.output_dim, name="lin_out")(out)
+        else:  # late: node features only (megnet.py:355-366)
+            out = x
+            for i in range(self.post_fc_count):
+                out = Linear(self.dim2, name=f"post_lin{i}")(out)
+                out = fn(out)
+            out = Linear(self.output_dim, name="lin_out")(out)
+            if self.pool == "set2set":
+                out = Set2Set(self.output_dim, processing_steps=3, name="set2set_x")(
+                    out, batch.node_graph, batch.node_mask, B
+                )
+                out = Linear(self.output_dim, name="lin_out_2")(out)
+            else:
+                out = get_pool(self.pool)(
+                    out, batch.node_graph, batch.node_mask, B
+                )
+
+        if out.shape[-1] == 1:
+            return out.reshape(-1)
+        return out

@@ -1,0 +1,63 @@
+"""MPNN — edge-conditioned conv + per-layer GRU (reference: models/mpnn.py).
+
+Per layer: m = NNConv(out) → BatchNorm? → act → dropout;
+out = h = GRU(m, h) with hidden state h threaded across all conv layers
+(mpnn.py:141-161; torch GRU over length-1 sequences ≡ a GRU cell).
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from matdeeplearn_tpu.data.batching import GraphBatch
+from matdeeplearn_tpu.models.base import GNNBase
+from matdeeplearn_tpu.nn.conv import NNConv
+from matdeeplearn_tpu.nn.layers import GRUCell, MaskedBatchNorm, MLP, get_activation
+
+
+class MPNN(GNNBase):
+    num_features: int = 114
+    dim1: int = 64
+    dim2: int = 64
+    dim3: int = 64
+    pre_fc_count: int = 1
+    gc_count: int = 3
+    post_fc_count: int = 1
+    pool: str = "global_mean_pool"
+    pool_order: str = "early"
+    batch_norm: bool = True
+    batch_track_stats: bool = True
+    act: str = "relu"
+    dropout_rate: float = 0.0
+    output_dim: int = 1
+    edge_resolution: int = 50
+    edge_width: float = 0.2
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, training: bool = False):
+        edge_attr = self.edge_features(batch)
+        fn = get_activation(self.act)
+        out = self.apply_pre_fc(batch.x)
+        h = out
+        for i in range(self.gc_count):
+            # Edge network: Linear(edge_dim, dim3) → ReLU → Linear(dim3, d²)
+            # (mpnn.py:83-85).
+            edge_net = MLP(
+                (self.dim3, self.gc_dim * self.gc_dim),
+                act="relu",
+                act_last=False,
+                name=f"edge_nn{i}",
+            )
+            m = NNConv(self.gc_dim, edge_net, name=f"conv{i}")(
+                out, batch.edge_src, batch.edge_dst, edge_attr, batch.edge_mask
+            )
+            if self.batch_norm:
+                m = MaskedBatchNorm(
+                    track_stats=self.batch_track_stats, name=f"bn{i}"
+                )(m, mask=batch.node_mask, use_running_average=not training)
+            m = fn(m)
+            if self.dropout_rate > 0:
+                m = nn.Dropout(self.dropout_rate, deterministic=not training)(m)
+            h = GRUCell(self.gc_dim, name=f"gru{i}")(m, h)
+            out = h
+        return self.apply_head(out, batch)

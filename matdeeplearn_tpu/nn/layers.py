@@ -1,0 +1,205 @@
+"""Core NN layers (flax.linen) with reference-parity numerics.
+
+The reference leans on torch.nn primitives (Linear, BatchNorm1d, GRU, LSTM —
+e.g. models/cgcnn.py:4, models/mpnn.py:4). These are their JAX twins with:
+
+  * torch-style initialization (U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for
+    Linear/GRU/LSTM) so training trajectories are statistically comparable,
+  * pad-mask-aware BatchNorm — statistics over *true* rows only, a
+    correctness requirement unique to the static-shape padded batch layout,
+  * torch BatchNorm1d running-stat semantics: biased variance for
+    normalization, unbiased for the running update, momentum 0.1,
+    track_running_stats toggle (models/cgcnn.py:84-87).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_init(fan_in: int):
+    """U(-k, k), k = 1/sqrt(fan_in) — torch.nn.Linear's default reset."""
+    bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def shifted_softplus(x):
+    """softplus(x) - log(2) — PyG SchNet's ShiftedSoftplus."""
+    return jax.nn.softplus(x) - 0.6931471805599453
+
+
+# Activation registry resolving the reference's `act` strings, which are
+# looked up on torch.nn.functional (models/cgcnn.py:127 getattr(F, act)).
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "softplus": jax.nn.softplus,
+    "leaky_relu": jax.nn.leaky_relu,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "celu": jax.nn.celu,
+    "selu": jax.nn.selu,
+    "hardtanh": jax.nn.hard_tanh,
+    "relu6": lambda x: jnp.minimum(jax.nn.relu(x), 6.0),
+    "shifted_softplus": shifted_softplus,
+}
+
+
+def get_activation(name: str) -> Callable:
+    if name not in ACTIVATIONS:
+        raise ValueError(f"Unknown activation '{name}'")
+    return ACTIVATIONS[name]
+
+
+class Linear(nn.Module):
+    """Dense layer with torch.nn.Linear initialization."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kinit = self.kernel_init or torch_linear_init(fan_in)
+        binit = self.bias_init or torch_linear_init(fan_in)
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", binit, (self.features,))
+        return y
+
+
+def xavier_uniform():
+    return nn.initializers.glorot_uniform()
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with torch semantics over masked (padded) rows.
+
+    * training: normalize with biased batch stats over rows where mask=1;
+      update running stats (unbiased var) when track_stats.
+    * eval: running stats if track_stats else batch stats (torch's
+      track_running_stats=False behavior).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    track_stats: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = False):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+
+        use_batch_stats = (not use_running_average) or (not self.track_stats)
+        if use_batch_stats:
+            if mask is None:
+                count = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean((x - mean) ** 2, axis=0)
+            else:
+                m = mask.astype(jnp.float32)[:, None]
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=0) / count
+                var = jnp.sum(((x - mean) ** 2) * m, axis=0) / count
+            if self.track_stats and not use_running_average and not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                mom = self.momentum
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
+class GRUCell(nn.Module):
+    """Single-step GRU with torch.nn.GRU gate math and parameter layout.
+
+    Used by the MPNN model's per-layer recurrence (models/mpnn.py:90,160),
+    which runs torch GRU on sequences of length one — i.e. a cell.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, h):
+        H = self.hidden
+        init = torch_linear_init(H)  # torch GRU: U(-1/sqrt(H), 1/sqrt(H)) everywhere
+        w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H))
+        w_hh = self.param("w_hh", init, (H, 3 * H))
+        b_ih = self.param("b_ih", init, (3 * H,))
+        b_hh = self.param("b_hh", init, (3 * H,))
+        gi = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
+        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+
+class LSTMCell(nn.Module):
+    """Single-step LSTM with torch.nn.LSTM gate math (for Set2Set pooling)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        H = self.hidden
+        init = torch_linear_init(H)
+        w_ih = self.param("w_ih", init, (x.shape[-1], 4 * H))
+        w_hh = self.param("w_hh", init, (H, 4 * H))
+        b_ih = self.param("b_ih", init, (4 * H,))
+        b_hh = self.param("b_hh", init, (4 * H,))
+        g = (
+            jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+            + b_ih
+            + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+            + b_hh
+        )
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c_new = f * c + i * jnp.tanh(gg)
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new
+
+
+class MLP(nn.Module):
+    """Stack of Linear(+activation) layers; activation also after the last
+    layer when `act_last` (the reference's embed MLPs end in ReLU,
+    models/megnet.py:222-230)."""
+
+    features: tuple[int, ...]
+    act: str = "relu"
+    act_last: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fn = get_activation(self.act)
+        for i, f in enumerate(self.features):
+            x = Linear(f, name=f"lin{i}")(x)
+            if i < len(self.features) - 1 or self.act_last:
+                x = fn(x)
+        return x
