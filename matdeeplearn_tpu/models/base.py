@@ -64,11 +64,15 @@ class GNNBase(nn.Module):
 
         if self.pool_order == "early":
             out = self._pool(out, batch, pooled_dim)
+            # Graph embedding = input of the first post-FC layer, matching the
+            # reference analysis hook on post_lin_list[0] (training.py:1236-1237).
+            self.sow("intermediates", "graph_embedding", out)
             for i in range(self.post_fc_count):
                 out = Linear(self.dim2, name=f"post_lin{i}")(out)
                 out = fn(out)
             out = Linear(self.output_dim, name="lin_out")(out)
         else:  # late
+            self.sow("intermediates", "graph_embedding", out)
             for i in range(self.post_fc_count):
                 out = Linear(self.dim2, name=f"post_lin{i}")(out)
                 out = fn(out)

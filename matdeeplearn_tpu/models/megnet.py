@@ -105,12 +105,14 @@ class MEGNet(GNNBase):
                     mask=batch.node_mask,
                 )[:B]
                 out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
+            self.sow("intermediates", "graph_embedding", out)
             for i in range(self.post_fc_count):
                 out = Linear(self.dim2, name=f"post_lin{i}")(out)
                 out = fn(out)
             out = Linear(self.output_dim, name="lin_out")(out)
         else:  # late: node features only (megnet.py:355-366)
             out = x
+            self.sow("intermediates", "graph_embedding", out)
             for i in range(self.post_fc_count):
                 out = Linear(self.dim2, name=f"post_lin{i}")(out)
                 out = fn(out)

@@ -1,0 +1,486 @@
+"""Run-mode jobs: Training / Predict / Repeat / CV / Ensemble / Analysis.
+
+Reference counterparts in matdeeplearn/training/training.py:
+train_regular (:377-539), predict (:543-583), train_CV (:587-715),
+train_repeat (:719-843), train_ensemble (:1069-1196), analysis (:1199-1290).
+Behavioral API (filenames, CSV headers, printed errors) matches §2.2 of the
+survey; internals are jitted JAX with device-resident data.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matdeeplearn_tpu.data import dataset as D
+from matdeeplearn_tpu.data.batching import BatchSpec, DeviceDataset, assemble_batch
+from matdeeplearn_tpu.models import build_model, MODEL_FIELDS
+from matdeeplearn_tpu.training import train as T
+from matdeeplearn_tpu.training.checkpoint import (
+    load_checkpoint,
+    params_from_raw,
+    save_checkpoint,
+)
+from matdeeplearn_tpu.training.optimizers import build_optimizer
+from matdeeplearn_tpu.training.scheduler import build_scheduler
+from matdeeplearn_tpu.utils.results import write_results
+from matdeeplearn_tpu.utils.summary import model_summary
+
+
+@dataclass
+class Run:
+    """Everything needed to train/evaluate one model on one dataset."""
+
+    model: Any
+    tx: Any
+    spec: BatchSpec
+    data: DeviceDataset
+    state: T.TrainState
+    scheduler: Any
+    train_step: Any
+    eval_step: Any
+    model_name: str
+    model_config: dict = field(default_factory=dict)
+
+
+def setup_run(
+    dataset: D.GraphDataset,
+    model_parameters: dict,
+    loss: str,
+    seed: int = 0,
+    lr_scale: float = 1.0,
+    batch_size: int | None = None,
+    print_model: bool = False,
+) -> Run:
+    """Model/optimizer/scheduler/step construction (reference model_setup +
+    optimizer reflection, training/training.py:241-266, 429-436)."""
+    model_name = model_parameters.get("model", "CGCNN")
+    model = build_model(model_name, dataset, model_parameters)
+    bs = int(batch_size or model_parameters.get("batch_size", 100))
+    spec = BatchSpec.for_dataset(dataset.node_counts(), dataset.edge_counts(), bs)
+    data = DeviceDataset.from_graph_dataset(dataset)
+    lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
+    tx = build_optimizer(
+        model_parameters.get("optimizer", "AdamW"),
+        lr,
+        model_parameters.get("optimizer_args") or {},
+    )
+    scheduler = build_scheduler(
+        model_parameters.get("scheduler", "ReduceLROnPlateau"),
+        lr,
+        model_parameters.get("scheduler_args") or {},
+    )
+    sample_ids = jnp.asarray(
+        np.arange(min(bs, len(dataset)), dtype=np.int32)
+    )
+    sample_ids = jnp.pad(sample_ids, (0, bs - sample_ids.shape[0]), constant_values=-1)
+    sample_batch = T.assemble_batch(data, sample_ids, spec)
+    state = T.init_state(model, tx, sample_batch, seed)
+    if print_model:
+        model_summary(state.params, model_name)
+    # Serializable model config for checkpoint-based reconstruction.
+    cfg = {
+        k: v for k, v in model_parameters.items()
+        if k in MODEL_FIELDS.get(model_name, set())
+    }
+    cfg["num_features"] = dataset.num_features
+    cfg["output_dim"] = dataset.output_dim
+    cfg["edge_resolution"] = dataset.num_edge_features
+    return Run(
+        model=model,
+        tx=tx,
+        spec=spec,
+        data=data,
+        state=state,
+        scheduler=scheduler,
+        train_step=T.make_train_step(model, tx, loss, spec),
+        eval_step=T.make_eval_step(model, loss, spec),
+        model_name=model_name,
+        model_config=cfg,
+    )
+
+
+def _final_outputs(run: Run, dataset, idx, batch_size):
+    loss, preds, targs = T.evaluate(
+        run.eval_step, run.state, run.data, idx, batch_size, out=True
+    )
+    ids = [dataset.structure_ids[i] for i in idx]
+    return loss, ids, targs, preds
+
+
+def train_regular(
+    dataset: D.GraphDataset,
+    job_parameters: dict,
+    training_parameters: dict,
+    model_parameters: dict,
+    lr_scale: float = 1.0,
+) -> dict:
+    """The Training run mode (reference train_regular, training.py:377-539)."""
+    job_name = str(job_parameters.get("job_name", "train_job"))
+    seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
+    batch_size = int(model_parameters.get("batch_size", 100))
+    loss = training_parameters.get("loss", "l1_loss")
+
+    train_idx, val_idx, test_idx = D.split_data(
+        dataset,
+        training_parameters.get("train_ratio", 0.8),
+        training_parameters.get("val_ratio", 0.05),
+        training_parameters.get("test_ratio", 0.15),
+        seed=seed,
+    )
+
+    run = setup_run(
+        dataset, model_parameters, loss, seed=seed, lr_scale=lr_scale,
+        print_model=bool(model_parameters.get("print_model", True)),
+    )
+
+    if str(job_parameters.get("load_model")) == "True":
+        meta, state = load_checkpoint(job_parameters["model_path"], run.state)
+        run.state = state
+
+    temp_path = job_parameters.get("temp_checkpoint_path", "my_model_temp.ckpt")
+
+    def checkpoint_fn(state, scheduler):
+        save_checkpoint(
+            temp_path, state, scheduler, run.model_name, run.model_config
+        )
+
+    best_state, last_state = T.trainer(
+        train_step=run.train_step,
+        eval_step=run.eval_step,
+        state=run.state,
+        scheduler=run.scheduler,
+        data=run.data,
+        train_idx=train_idx,
+        val_idx=val_idx,
+        batch_size=batch_size,
+        epochs=int(model_parameters.get("epochs", 250)),
+        verbosity=int(training_parameters.get("verbosity", 5)),
+        rng_key=jax.random.PRNGKey(seed),
+        checkpoint_fn=checkpoint_fn if str(job_parameters.get("save_model", "True")) == "True" else None,
+    )
+    run.state = best_state
+
+    errors = {}
+    outputs = {}
+    for split, idx in (("train", train_idx), ("val", val_idx), ("test", test_idx)):
+        if len(idx) == 0:
+            errors[split] = float("nan")
+            continue
+        err, ids, targs, preds = _final_outputs(run, dataset, idx, batch_size)
+        errors[split] = err
+        outputs[split] = (ids, targs, preds)
+        print("{} Error: {:.5f}".format(split.capitalize(), err))
+
+    if str(job_parameters.get("save_model", "True")) == "True":
+        save_checkpoint(
+            job_parameters.get("model_path", "my_model.ckpt"),
+            run.state, run.scheduler, run.model_name, run.model_config,
+        )
+
+    if str(job_parameters.get("write_output", "True")) == "True":
+        for split, (ids, targs, preds) in outputs.items():
+            write_results(ids, targs, preds, f"{job_name}_{split}_outputs.csv")
+
+    if str(job_parameters.get("write_error")) == "True":
+        np.savetxt(
+            f"{job_name}_errorvalues.csv",
+            np.array([[errors["train"], errors["val"], errors["test"]]]),
+            delimiter=",",
+        )
+    return errors
+
+
+def predict(dataset: D.GraphDataset, loss: str, job_parameters: dict) -> float:
+    """The Predict run mode (reference predict, training.py:543-583):
+    rebuild the model from the checkpoint header, batch-128 inference,
+    write `<job>_predicted_outputs.csv`, report the error."""
+    import time
+
+    model_path = job_parameters["model_path"]
+    assert os.path.exists(model_path), "Saved model not found"
+    job_name = str(job_parameters.get("job_name", "predict_job"))
+
+    meta, raw = load_checkpoint(model_path)
+    params, batch_stats = params_from_raw(raw)
+    cfg = dict(meta["model_config"])
+    model = build_model(meta["model_name"], dataset, cfg)
+
+    batch_size = int(job_parameters.get("batch_size", 128))
+    spec = BatchSpec.for_dataset(
+        dataset.node_counts(), dataset.edge_counts(), batch_size
+    )
+    data = DeviceDataset.from_graph_dataset(dataset)
+    state = T.TrainState(
+        params=params, batch_stats=batch_stats, opt_state=None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    eval_step = T.make_eval_step(model, loss, spec)
+
+    t0 = time.time()
+    idx = np.arange(len(dataset))
+    err, preds, targs = T.evaluate(eval_step, state, data, idx, batch_size, out=True)
+    elapsed = time.time() - t0
+    print("Evaluation time (s): {:.5f}".format(elapsed))
+
+    if str(job_parameters.get("write_output", "True")) == "True":
+        write_results(
+            dataset.structure_ids, targs, preds,
+            f"{job_name}_predicted_outputs.csv",
+        )
+    print("Test Error: {:.5f}".format(err))
+    return err
+
+
+def train_CV(
+    dataset: D.GraphDataset,
+    job_parameters: dict,
+    training_parameters: dict,
+    model_parameters: dict,
+) -> float:
+    """The CV run mode (reference train_CV, training.py:587-715): n folds,
+    train on n-1, test on held-out fold, fresh model per fold, no val set."""
+    job_name = str(job_parameters.get("job_name", "CV_job"))
+    seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
+    folds = int(job_parameters.get("cv_folds", 5))
+    loss = training_parameters.get("loss", "l1_loss")
+    batch_size = int(model_parameters.get("batch_size", 100))
+
+    cv_idx = D.split_data_CV(dataset, num_folds=folds, seed=seed)
+    cv_error = 0.0
+    all_ids, all_targs, all_preds = [], [], []
+    for k in range(folds):
+        test_idx = cv_idx[k]
+        train_idx = np.concatenate([cv_idx[j] for j in range(folds) if j != k])
+        run = setup_run(
+            dataset, model_parameters, loss, seed=seed + k,
+            print_model=(k == 0 and bool(model_parameters.get("print_model", True))),
+        )
+        best_state, _ = T.trainer(
+            train_step=run.train_step,
+            eval_step=run.eval_step,
+            state=run.state,
+            scheduler=run.scheduler,
+            data=run.data,
+            train_idx=train_idx,
+            val_idx=np.array([], np.int64),
+            batch_size=batch_size,
+            epochs=int(model_parameters.get("epochs", 250)),
+            verbosity=int(training_parameters.get("verbosity", 5)),
+            rng_key=jax.random.PRNGKey(seed + k),
+        )
+        run.state = best_state
+        err, ids, targs, preds = _final_outputs(run, dataset, test_idx, batch_size)
+        print("Fold {} test error: {:.5f}".format(k, err))
+        cv_error += err
+        all_ids += ids
+        all_targs.append(targs)
+        all_preds.append(preds)
+
+    cv_error /= folds
+    print("CV Error: {:.5f}".format(cv_error))
+    if str(job_parameters.get("write_output", "True")) == "True":
+        write_results(
+            all_ids, np.concatenate(all_targs), np.concatenate(all_preds),
+            f"{job_name}_CV_outputs.csv",
+        )
+    return cv_error
+
+
+def train_repeat(
+    dataset: D.GraphDataset,
+    job_parameters: dict,
+    training_parameters: dict,
+    model_parameters: dict,
+) -> np.ndarray:
+    """The Repeat run mode (reference train_repeat, training.py:719-843):
+    n independent trials with fresh random seeds; aggregate mean/std."""
+    job_name = str(job_parameters.get("job_name", "repeat_job"))
+    trials = int(job_parameters.get("repeat_trials", 5))
+    model_path = job_parameters.get("model_path", "my_model.ckpt")
+    write_output = str(job_parameters.get("write_output", "False"))
+
+    errs = []
+    for t in range(trials):
+        jp = dict(job_parameters)
+        jp["seed"] = np.random.randint(1, 1_000_000)
+        jp["job_name"] = f"{job_name}_{t}"
+        jp["model_path"] = f"{t}_{model_path}"
+        jp["write_error"] = "True"
+        jp["write_output"] = "True" if write_output != "False" else "False"
+        e = train_regular(dataset, jp, training_parameters, model_parameters)
+        errs.append([e["train"], e["val"], e["test"]])
+        if write_output == "False":
+            for p in (jp["model_path"], "my_model_temp.ckpt"):
+                if os.path.exists(p):
+                    os.remove(p)
+
+    errs = np.array(errs)
+    mean, std = errs.mean(axis=0), errs.std(axis=0)
+    print(
+        "Training Error Avg: {:.3f}, Training Standard Dev: {:.3f}".format(mean[0], std[0])
+    )
+    print(
+        "Val Error Avg: {:.3f}, Val Standard Dev: {:.3f}".format(mean[1], std[1])
+    )
+    print(
+        "Test Error Avg: {:.3f}, Test Standard Dev: {:.3f}".format(mean[2], std[2])
+    )
+    with open(f"{job_name}_all_errorvalues.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["", "Training", "Validation", "Test"])
+        for t in range(trials):
+            w.writerow([f"Trial {t}"] + [f"{v:.8g}" for v in errs[t]])
+        w.writerow(["Mean"] + [f"{v:.8g}" for v in mean])
+        w.writerow(["Std"] + [f"{v:.8g}" for v in std])
+    return errs
+
+
+def train_ensemble(
+    dataset: D.GraphDataset,
+    job_parameters: dict,
+    training_parameters: dict,
+    models_parameters: dict[str, dict],
+) -> float:
+    """The Ensemble run mode (reference train_ensemble, training.py:1069-1196):
+    train each listed model config, average test-set predictions."""
+    job_name = str(job_parameters.get("job_name", "ensemble_job"))
+    ensemble_list = job_parameters["ensemble_list"]
+    if isinstance(ensemble_list, str):
+        ensemble_list = ensemble_list.split(",")
+    write_output = str(job_parameters.get("write_output", "Partial"))
+    loss_name = training_parameters.get("loss", "l1_loss")
+    seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
+
+    outputs = []
+    errors = []
+    for i, mname in enumerate(ensemble_list):
+        jp = dict(job_parameters)
+        jp["job_name"] = f"{job_name}_{i}_{mname}"
+        jp["model_path"] = f"{i}_{mname}_{job_parameters.get('model_path', 'my_model.ckpt')}"
+        jp["seed"] = seed
+        jp["write_output"] = "True"
+        mp = dict(models_parameters[mname])
+        e = train_regular(dataset, jp, training_parameters, mp)
+        errors.append(e["test"])
+        with open(f"{jp['job_name']}_test_outputs.csv") as f:
+            rows = list(csv.reader(f))[1:]
+        outputs.append(rows)
+        if write_output in ("Partial", "False"):
+            for split in ("train", "val", "test"):
+                p = f"{jp['job_name']}_{split}_outputs.csv"
+                if os.path.exists(p) and not (
+                    split == "test" and write_output == "Partial" and False
+                ):
+                    os.remove(p)
+            if str(job_parameters.get("save_model", "False")) != "True":
+                for p in (jp["model_path"],):
+                    if os.path.exists(p):
+                        os.remove(p)
+
+    ids = [r[0] for r in outputs[0]]
+    targets = np.array([[float(v) for v in r[1:-1]] for r in outputs[0]])
+    preds = np.stack(
+        [np.array([[float(r[-1])] for r in rows]) for rows in outputs]
+    )
+    ens_pred = preds.mean(axis=0)
+
+    for mname, err in zip(ensemble_list, errors):
+        print("Test Error, {}: {:.5f}".format(mname, err))
+    loss_fn = T.get_loss(loss_name)
+    mask = jnp.ones(len(ids))
+    ens_err = float(
+        loss_fn(jnp.asarray(ens_pred.ravel()), jnp.asarray(targets.ravel()), mask)
+    )
+    print("Test Error, Ensemble: {:.5f}".format(ens_err))
+    write_results(ids, targets, ens_pred, f"{job_name}_test_ensemble_outputs.csv")
+    return ens_err
+
+
+def analysis(
+    dataset: D.GraphDataset,
+    model_path: str,
+    tsne_args: dict | None = None,
+    batch_size: int = 512,
+    output_prefix: str = "tsne",
+) -> np.ndarray:
+    """The Analysis run mode (reference analysis, training.py:1199-1290):
+    capture post-pool graph embeddings (the input of the first post-FC
+    layer), run t-SNE, write CSV + scatter PNG."""
+    assert os.path.exists(model_path), "saved model not found"
+    meta, raw = load_checkpoint(model_path)
+    params, batch_stats = params_from_raw(raw)
+    model = build_model(meta["model_name"], dataset, dict(meta["model_config"]))
+    model_summary(params, meta["model_name"])
+
+    spec = BatchSpec.for_dataset(
+        dataset.node_counts(), dataset.edge_counts(), batch_size
+    )
+    data = DeviceDataset.from_graph_dataset(dataset)
+
+    @jax.jit
+    def embed_step(ids):
+        batch = assemble_batch(data, ids, spec)
+        _, mods = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, training=False, mutable=["intermediates"],
+        )
+        embs = jax.tree_util.tree_leaves(
+            mods["intermediates"]
+        )
+        return embs[0]
+
+    all_emb = []
+    from matdeeplearn_tpu.data.batching import batch_iterator
+
+    for ids in batch_iterator(len(dataset), batch_size, shuffle=False, seed=None):
+        emb = np.asarray(embed_step(jnp.asarray(ids, jnp.int32)))
+        valid = ids >= 0
+        all_emb.append(emb[: valid.sum()])
+    embeddings = np.concatenate(all_emb)
+    print("Number of samples: ", embeddings.shape[0])
+    print("Number of features: ", embeddings.shape[1])
+
+    from sklearn.manifold import TSNE
+
+    targets = dataset.targets
+    if targets.ndim > 1:
+        targets = targets[:, 0]
+    targs = dict(tsne_args or {})
+    if "n_iter" in targs:  # reference-era sklearn name (main.py:531)
+        targs["max_iter"] = targs.pop("n_iter")
+    targs.setdefault("perplexity", min(30.0, max(2.0, len(dataset) / 4)))
+    tsne_out = TSNE(**targs).fit_transform(embeddings)
+
+    with open(f"{output_prefix}_output.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        for sid, y, a, b in zip(
+            dataset.structure_ids, targets, tsne_out[:, 0], tsne_out[:, 1]
+        ):
+            w.writerow([sid, y, a, b])
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        main = plt.scatter(tsne_out[:, 1], tsne_out[:, 0], c=targets, s=3)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        cbar = plt.colorbar(main, ax=ax)
+        cbar.mappable.set_clim(
+            targets.mean() - 2 * targets.std(), targets.mean() + 2 * targets.std()
+        )
+        plt.savefig(f"{output_prefix}_output.png", format="png", dpi=600)
+        plt.close(fig)
+    except ImportError:
+        print("matplotlib unavailable; skipping tsne_output.png")
+    return tsne_out
