@@ -1,0 +1,104 @@
+"""Benchmark: CGCNN training throughput on the reference's test_data.
+
+Baseline (BASELINE.md): the reference reports ~10-20 s/epoch on CPU for
+~1k Pt clusters with CGCNN defaults (README.md:65) and a 5-20x GPU speedup,
+i.e. a ~1-3 s/epoch GPU-class baseline. We benchmark the same workload
+(CGCNN_demo config: dim1=100 dim2=150 gc_count=4 post_fc_count=3,
+batch 100, AdamW) and report s/epoch on one TPU chip.
+
+vs_baseline = reference GPU-class epoch seconds (2.0) / ours — >1 is faster.
+
+Prints ONE JSON line on stdout; all diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tarfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_test_data() -> str:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "test_data")
+    if not os.path.exists(os.path.join(path, "targets.csv")):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tar = "/root/reference/data/test_data/test_data.tar.gz"
+        with tarfile.open(tar) as f:
+            f.extractall(os.path.dirname(path))
+        log("extracted test_data")
+    return path
+
+
+def main():
+    t_start = time.time()
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from matdeeplearn_tpu.data import get_dataset
+    from matdeeplearn_tpu.training import jobs as J
+    from matdeeplearn_tpu.training import train as T
+
+    log("devices:", jax.devices())
+    data_path = get_test_data()
+    ds = get_dataset(data_path, target_index=0, processing_args={"verbose": "False"})
+    log(f"dataset: {len(ds)} graphs, {len(ds.edge_src)} edges")
+
+    model_params = {
+        "model": "CGCNN", "dim1": 100, "dim2": 150, "pre_fc_count": 1,
+        "gc_count": 4, "post_fc_count": 3, "pool": "global_mean_pool",
+        "batch_norm": "True", "act": "relu", "epochs": 250, "lr": 0.002,
+        "batch_size": 100, "optimizer": "AdamW", "optimizer_args": {},
+        "scheduler": "ReduceLROnPlateau",
+        "scheduler_args": {"mode": "min", "factor": 0.8, "patience": 10,
+                           "min_lr": 1e-5, "threshold": 2e-4},
+    }
+    run = J.setup_run(ds, model_params, "l1_loss", seed=123, print_model=False)
+    train_idx = np.arange(int(len(ds) * 0.8))
+    batch_size = run.global_batch
+
+    # Warm-up epoch (includes compile).
+    state = run.state
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, err, rng = T.train_epoch(
+        run.train_step, state, run.data, train_idx, batch_size, rng, 0
+    )
+    log(f"warmup epoch (compile): {time.time() - t0:.2f}s err={err:.4f}")
+
+    # Timed epochs.
+    n_epochs = 10
+    t0 = time.time()
+    for e in range(n_epochs):
+        state, err, rng = T.train_epoch(
+            run.train_step, state, run.data, train_idx, batch_size, rng, e + 1
+        )
+    jax.block_until_ready(state.params)
+    sec_per_epoch = (time.time() - t0) / n_epochs
+    edges_per_sec = len(run.data.edge_src) * 0.8 / sec_per_epoch
+
+    baseline_gpu_sec = 2.0  # reference GPU-class epoch time (README.md:65)
+    log(
+        f"s/epoch={sec_per_epoch:.4f} edges/s={edges_per_sec:.3g} "
+        f"final_err={err:.4f} total_bench_s={time.time() - t_start:.1f}"
+    )
+    print(json.dumps({
+        "metric": "epoch_time_test_data_cgcnn",
+        "value": round(sec_per_epoch, 4),
+        "unit": "s/epoch",
+        "vs_baseline": round(baseline_gpu_sec / sec_per_epoch, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ class Run:
     eval_step: Any
     model_name: str
     model_config: dict = field(default_factory=dict)
+    global_batch: int = 0  # ids per step (= batch_size × dp replicas)
 
 
 def setup_run(
@@ -57,13 +58,22 @@ def setup_run(
     lr_scale: float = 1.0,
     batch_size: int | None = None,
     print_model: bool = False,
+    mesh=None,
 ) -> Run:
     """Model/optimizer/scheduler/step construction (reference model_setup +
-    optimizer reflection, training/training.py:241-266, 429-436)."""
+    optimizer reflection, training/training.py:241-266, 429-436).
+
+    With a mesh, steps are SPMD over (dp, ep): batch_size is per-replica
+    (DistributedSampler semantics) and callers scale lr by world size, as
+    the reference does (training.py:292-294, 389)."""
     model_name = model_parameters.get("model", "CGCNN")
     model = build_model(model_name, dataset, model_parameters)
     bs = int(batch_size or model_parameters.get("batch_size", 100))
-    spec = BatchSpec.for_dataset(dataset.node_counts(), dataset.edge_counts(), bs)
+    dp = int(mesh.shape["dp"]) if mesh is not None else 1
+    ep = int(mesh.shape["ep"]) if mesh is not None else 1
+    spec = BatchSpec.for_dataset(
+        dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
+    )
     data = DeviceDataset.from_graph_dataset(dataset)
     lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
     tx = build_optimizer(
@@ -92,6 +102,14 @@ def setup_run(
     cfg["num_features"] = dataset.num_features
     cfg["output_dim"] = dataset.output_dim
     cfg["edge_resolution"] = dataset.num_edge_features
+    if mesh is not None:
+        from matdeeplearn_tpu.parallel import make_spmd_eval_step, make_spmd_train_step
+
+        train_step, _, _ = make_spmd_train_step(model, tx, loss, spec, mesh)
+        eval_step = make_spmd_eval_step(model, loss, spec, mesh)
+    else:
+        train_step = T.make_train_step(model, tx, loss, spec)
+        eval_step = T.make_eval_step(model, loss, spec)
     return Run(
         model=model,
         tx=tx,
@@ -99,10 +117,11 @@ def setup_run(
         data=data,
         state=state,
         scheduler=scheduler,
-        train_step=T.make_train_step(model, tx, loss, spec),
-        eval_step=T.make_eval_step(model, loss, spec),
+        train_step=train_step,
+        eval_step=eval_step,
         model_name=model_name,
         model_config=cfg,
+        global_batch=bs * dp,
     )
 
 
@@ -119,13 +138,15 @@ def train_regular(
     job_parameters: dict,
     training_parameters: dict,
     model_parameters: dict,
-    lr_scale: float = 1.0,
+    mesh=None,
 ) -> dict:
-    """The Training run mode (reference train_regular, training.py:377-539)."""
+    """The Training run mode (reference train_regular, training.py:377-539).
+    With a mesh, runs the SPMD multi-chip step with lr × world_size
+    (reference DDP lr scaling, training.py:389)."""
     job_name = str(job_parameters.get("job_name", "train_job"))
     seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
-    batch_size = int(model_parameters.get("batch_size", 100))
     loss = training_parameters.get("loss", "l1_loss")
+    lr_scale = float(mesh.shape["dp"]) if mesh is not None else 1.0
 
     train_idx, val_idx, test_idx = D.split_data(
         dataset,
@@ -138,7 +159,9 @@ def train_regular(
     run = setup_run(
         dataset, model_parameters, loss, seed=seed, lr_scale=lr_scale,
         print_model=bool(model_parameters.get("print_model", True)),
+        mesh=mesh,
     )
+    batch_size = run.global_batch
 
     if str(job_parameters.get("load_model")) == "True":
         meta, state = load_checkpoint(job_parameters["model_path"], run.state)
