@@ -65,27 +65,31 @@ def main():
     }
     run = J.setup_run(ds, model_params, "l1_loss", seed=123, print_model=False)
     train_idx = np.arange(int(len(ds) * 0.8))
-    batch_size = run.global_batch
+    val_idx = np.arange(int(len(ds) * 0.8), int(len(ds) * 0.85))
 
-    # Warm-up epoch (includes compile).
-    state = run.state
-    rng = jax.random.PRNGKey(0)
+    # Warm-up chunk (includes compile) via the fused on-device trainer.
+    # Chunk length (verbosity) is baked into the scanned program shape, so
+    # warmup and timing must use the same K.
+    K = 5
     t0 = time.time()
-    state, err, rng = T.train_epoch(
-        run.train_step, state, run.data, train_idx, batch_size, rng, 0
+    best, last, sched = J.run_fused_training(
+        run, train_idx=train_idx, val_idx=val_idx, epochs=K, verbosity=K,
+        seed=123,
     )
-    log(f"warmup epoch (compile): {time.time() - t0:.2f}s err={err:.4f}")
+    log(f"warmup {K} epochs (compile): {time.time() - t0:.2f}s")
 
-    # Timed epochs.
-    n_epochs = 10
+    # Timed: 50 epochs in K-sized fused dispatches.
+    n_epochs = 50
+    run.state = last
     t0 = time.time()
-    for e in range(n_epochs):
-        state, err, rng = T.train_epoch(
-            run.train_step, state, run.data, train_idx, batch_size, rng, e + 1
-        )
-    jax.block_until_ready(state.params)
+    best, last, sched = J.run_fused_training(
+        run, train_idx=train_idx, val_idx=val_idx, epochs=n_epochs,
+        verbosity=K, seed=124,
+    )
+    jax.block_until_ready(last.params)
+    err = float("nan")
     sec_per_epoch = (time.time() - t0) / n_epochs
-    edges_per_sec = len(run.data.edge_src) * 0.8 / sec_per_epoch
+    edges_per_sec = len(np.asarray(run.data.edge_src)) * 0.8 / sec_per_epoch
 
     baseline_gpu_sec = 2.0  # reference GPU-class epoch time (README.md:65)
     log(

@@ -57,16 +57,10 @@ def _constrain_batch(batch, mesh: Mesh):
     )
 
 
-def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh):
-    """Multi-chip train step, drop-in for the single-device step: takes a
-    flat (dp·B,) id vector (reshaped to one (B,) batch per dp replica)."""
-    loss_fn = get_loss(loss_name)
+def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding):
     dp = mesh.shape["dp"]
-    ids_sharding = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
 
-    @jax.jit
-    def train_step(state: TrainState, data: DeviceDataset, ids, rng):
+    def body(state: TrainState, data: DeviceDataset, ids, rng):
         ids = ids.reshape(dp, -1)
         ids = jax.lax.with_sharding_constraint(ids, ids_sharding)
         batch = jax.vmap(lambda row: assemble_batch(data, row, spec))(ids)
@@ -107,17 +101,33 @@ def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh)
         )
         return new_state, loss, count
 
-    return train_step, ids_sharding, rep
+    return body
 
 
-def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
+def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh):
+    """Multi-chip train step, drop-in for the single-device step: takes a
+    flat (dp·B,) id vector (reshaped to one (B,) batch per dp replica)."""
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding)
+    return jax.jit(body), ids_sharding, rep
 
+
+def make_spmd_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh):
+    """Whole-epoch scan over the SPMD step body (one dispatch per epoch)."""
+    from matdeeplearn_tpu.training.train import scan_train_epoch_fn
+
+    loss_fn = get_loss(loss_name)
+    ids_sharding = NamedSharding(mesh, P("dp"))
+    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding)
+    return scan_train_epoch_fn(body)
+
+
+def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding):
     dp = mesh.shape["dp"]
 
-    @jax.jit
-    def eval_step(state: TrainState, data: DeviceDataset, ids):
+    def body(state: TrainState, data: DeviceDataset, ids):
         ids = ids.reshape(dp, -1)
         ids = jax.lax.with_sharding_constraint(ids, ids_sharding)
         batch = jax.vmap(lambda row: assemble_batch(data, row, spec))(ids)
@@ -138,7 +148,21 @@ def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
         outs = outs.reshape((-1,) + outs.shape[2:])  # flat, row-major = id order
         return total / count, count, outs
 
-    return eval_step
+    return body
+
+
+def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
+    loss_fn = get_loss(loss_name)
+    ids_sharding = NamedSharding(mesh, P("dp"))
+    return jax.jit(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding))
+
+
+def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
+    from matdeeplearn_tpu.training.train import scan_eval_epoch_fn
+
+    loss_fn = get_loss(loss_name)
+    ids_sharding = NamedSharding(mesh, P("dp"))
+    return scan_eval_epoch_fn(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding))
 
 
 def shard_ids(ids, dp: int):

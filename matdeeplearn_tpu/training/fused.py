@@ -1,0 +1,240 @@
+"""Fused multi-epoch training: K epochs per XLA dispatch.
+
+Per-epoch host round-trips (read train error → step scheduler → maybe
+checkpoint) serialize training on launch latency. Here the entire epoch
+loop state machine runs on device:
+
+  * ReduceLROnPlateau as a branchless jnp state machine (exact torch
+    semantics — mirrors scheduler.py, verified in tests),
+  * the learning rate lives in optax's InjectHyperparamsState, so the
+    on-device scheduler updates it without retracing,
+  * best-val tracking keeps a device-side copy of the best params/stats
+    (selected with jnp.where per leaf on improvement),
+  * a chunk of `verbosity` epochs runs as one lax.scan dispatch; the host
+    syncs once per chunk to print and checkpoint.
+
+Semantics match the reference trainer (training/training.py:96-207):
+scheduler steps on the *train* error after the best-val decision; the best
+model is the one with the lowest validation error.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matdeeplearn_tpu.training.train import TrainState
+
+
+class PlateauState(NamedTuple):
+    lr: jax.Array        # current learning rate
+    best: jax.Array      # best metric seen
+    num_bad: jax.Array   # epochs without sufficient improvement
+    cooldown: jax.Array  # cooldown counter
+
+
+def plateau_init(lr: float) -> PlateauState:
+    return PlateauState(
+        lr=jnp.asarray(lr, jnp.float32),
+        best=jnp.asarray(jnp.inf, jnp.float32),
+        num_bad=jnp.zeros((), jnp.int32),
+        cooldown=jnp.zeros((), jnp.int32),
+    )
+
+
+def plateau_step(
+    state: PlateauState,
+    metric: jax.Array,
+    *,
+    factor: float,
+    patience: int,
+    threshold: float,
+    min_lr: float,
+    cooldown: int = 0,
+    threshold_mode: str = "rel",
+    enabled: bool = True,
+) -> PlateauState:
+    """One scheduler step (torch ReduceLROnPlateau, mode='min'), branchless."""
+    if not enabled:
+        return state
+    if threshold_mode == "rel":
+        is_better = metric < state.best * (1.0 - threshold)
+    else:
+        is_better = metric < state.best - threshold
+    best = jnp.where(is_better, metric, state.best)
+    num_bad = jnp.where(is_better, 0, state.num_bad + 1)
+    in_cooldown = state.cooldown > 0
+    cd = jnp.where(in_cooldown, state.cooldown - 1, 0)
+    num_bad = jnp.where(in_cooldown, 0, num_bad)
+    reduce_now = num_bad > patience
+    lr = jnp.where(reduce_now, jnp.maximum(state.lr * factor, min_lr), state.lr)
+    cd = jnp.where(reduce_now, cooldown, cd)
+    num_bad = jnp.where(reduce_now, 0, num_bad)
+    return PlateauState(lr=lr, best=best, num_bad=num_bad, cooldown=cd)
+
+
+class FusedCarry(NamedTuple):
+    state: Any            # TrainState
+    sched: PlateauState
+    best_val: jax.Array
+    best_params: Any
+    best_stats: Any
+    rng: jax.Array
+
+
+def make_fused_epochs_fn(
+    train_body,
+    eval_body,
+    *,
+    has_val: bool,
+    scheduler_kwargs: dict,
+    scheduler_enabled: bool = True,
+):
+    """Build fn(carry, train_ids (K,S,B), val_ids (Sv,B)) → (carry, metrics).
+
+    train_body(state, data, ids_row, rng) -> (state, loss, count)
+    eval_body(state, data, ids_row) -> (loss, count, out)
+    metrics: dict of (K,) arrays {train_error, val_error, lr}.
+    """
+    pstep = partial(plateau_step, enabled=scheduler_enabled, **scheduler_kwargs)
+
+    @jax.jit
+    def fused(carry: FusedCarry, data, train_ids, val_ids):
+        def epoch_body(c: FusedCarry, ids_epoch):
+            lr_before = c.sched.lr
+
+            def step(sc, ids_row):
+                state, rng, lsum, csum = sc
+                rng, sub = jax.random.split(rng)
+                state, loss, count = train_body(state, data, ids_row, sub)
+                return (state, rng, lsum + loss * count, csum + count), None
+
+            (state, rng, lsum, csum), _ = jax.lax.scan(
+                step, (c.state, c.rng, jnp.zeros(()), jnp.zeros(())), ids_epoch
+            )
+            train_error = lsum / jnp.maximum(csum, 1.0)
+
+            if has_val:
+                def vstep(vc, ids_row):
+                    vlsum, vcsum = vc
+                    loss, count, _ = eval_body(state, data, ids_row)
+                    return (vlsum + loss * count, vcsum + count), None
+
+                (vlsum, vcsum), _ = jax.lax.scan(
+                    vstep, (jnp.zeros(()), jnp.zeros(())), val_ids
+                )
+                val_error = vlsum / jnp.maximum(vcsum, 1.0)
+                improved = jnp.logical_or(
+                    jnp.isnan(val_error), val_error < c.best_val
+                )
+            else:
+                val_error = jnp.asarray(jnp.nan)
+                improved = jnp.asarray(True)
+
+            best_val = jnp.where(
+                improved & ~jnp.isnan(val_error), val_error, c.best_val
+            )
+            sel = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(improved, x, y), a, b
+            )
+            best_params = sel(state.params, c.best_params)
+            best_stats = sel(state.batch_stats, c.best_stats)
+
+            # Scheduler on the *train* error, after the best-val decision
+            # (reference training.py:193).
+            sched = pstep(c.sched, train_error)
+            opt_state = state.opt_state
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = sched.lr
+            state = state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+            out = {"train_error": train_error, "val_error": val_error,
+                   "lr": lr_before}
+            return FusedCarry(state, sched, best_val, best_params, best_stats, rng), out
+
+        carry, metrics = jax.lax.scan(epoch_body, carry, train_ids)
+        return carry, metrics
+
+    return fused
+
+
+def fused_trainer(
+    *,
+    train_body,
+    eval_body,
+    state: TrainState,
+    data,
+    train_idx,
+    val_idx,
+    batch_size: int,
+    epochs: int,
+    verbosity: int,
+    lr: float,
+    scheduler_kwargs: dict,
+    scheduler_enabled: bool = True,
+    rng_key,
+    checkpoint_fn=None,
+    shuffle_seed_base: int = 0,
+    fused_fn=None,
+):
+    """Run `epochs` epochs, dispatching `verbosity`-sized chunks. Returns
+    (best_state, last_state, final_sched_state). Pass a cached `fused_fn`
+    (from make_fused_epochs_fn) to avoid retracing across calls."""
+    from matdeeplearn_tpu.training.train import epoch_id_matrix
+
+    has_val = len(val_idx) > 0
+    fused = fused_fn or make_fused_epochs_fn(
+        train_body, eval_body, has_val=has_val,
+        scheduler_kwargs=scheduler_kwargs, scheduler_enabled=scheduler_enabled,
+    )
+    val_ids = jnp.asarray(
+        epoch_id_matrix(val_idx, batch_size, shuffle=False, seed=None)
+        if has_val else np.zeros((1, batch_size), np.int32)
+    )
+    carry = FusedCarry(
+        state=state,
+        sched=plateau_init(lr),
+        best_val=jnp.asarray(jnp.inf, jnp.float32),
+        best_params=state.params,
+        best_stats=state.batch_stats,
+        rng=rng_key,
+    )
+    chunk = max(1, int(verbosity) or 5)
+    import time
+
+    t0 = time.time()
+    epoch = 0
+    while epoch < epochs:
+        k = min(chunk, epochs - epoch)
+        ids = np.stack([
+            epoch_id_matrix(
+                train_idx, batch_size, shuffle=True,
+                seed=shuffle_seed_base + epoch + e + 1,
+            )
+            for e in range(k)
+        ])
+        carry, metrics = fused(carry, data, jnp.asarray(ids), val_ids)
+        epoch += k
+        train_err = float(metrics["train_error"][-1])
+        val_err = float(metrics["val_error"][-1])
+        lr_now = float(metrics["lr"][-1])
+        dt = (time.time() - t0) / k
+        t0 = time.time()
+        if verbosity:
+            print(
+                "Epoch: {:04d}, Learning Rate: {:.6f}, Training Error: {:.5f},"
+                " Val Error: {:.5f}, Time per epoch (s): {:.5f}".format(
+                    epoch, lr_now, train_err, val_err, dt
+                )
+            )
+        if checkpoint_fn is not None:
+            checkpoint_fn(carry)
+
+    best_state = carry.state.replace(
+        params=carry.best_params, batch_stats=carry.best_stats
+    )
+    return best_state, carry.state, carry.sched

@@ -165,14 +165,14 @@ def run_trial(
     history = []
     rungs = dict(rung_checks or [])
     for epoch in range(1, epochs + 1):
-        state, train_error, rngs = T.train_epoch(
-            run.train_step, state, run.data, train_idx, batch_size, rngs,
+        state, train_error, rngs = T.train_epoch_scan(
+            run.train_epoch_fn, state, run.data, train_idx, batch_size, rngs,
             shuffle_seed=epoch,
         )
         state = state.with_lr(run.scheduler.step(train_error))
         if epoch % report_every == 0 or epoch == epochs:
-            val_error = T.evaluate(
-                run.eval_step, state, run.data, val_idx, batch_size
+            val_error = T.evaluate_scan(
+                run.eval_epoch_fn, state, run.data, val_idx, batch_size
             )
             history.append({"epoch": epoch, "train": train_error, "val": val_error})
             if val_error < best_val:

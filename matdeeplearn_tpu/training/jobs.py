@@ -45,9 +45,17 @@ class Run:
     scheduler: Any
     train_step: Any
     eval_step: Any
+    train_epoch_fn: Any
+    eval_epoch_fn: Any
     model_name: str
     model_config: dict = field(default_factory=dict)
     global_batch: int = 0  # ids per step (= batch_size × dp replicas)
+    train_body: Any = None  # un-jitted step bodies (for the fused trainer)
+    eval_body: Any = None
+    lr: float = 0.0
+    scheduler_name: str = "ReduceLROnPlateau"
+    scheduler_args: dict = field(default_factory=dict)
+    fused_fns: dict = field(default_factory=dict)  # cache: avoids retracing
 
 
 def setup_run(
@@ -102,15 +110,43 @@ def setup_run(
     cfg["num_features"] = dataset.num_features
     cfg["output_dim"] = dataset.output_dim
     cfg["edge_resolution"] = dataset.num_edge_features
+    loss_fn = T.get_loss(loss)
     if mesh is not None:
-        from matdeeplearn_tpu.parallel import make_spmd_eval_step, make_spmd_train_step
+        from functools import partial as _partial
 
-        train_step, _, _ = make_spmd_train_step(model, tx, loss, spec, mesh)
-        eval_step = make_spmd_eval_step(model, loss, spec, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from matdeeplearn_tpu.parallel.spmd import (
+            _spmd_eval_body,
+            _spmd_train_body,
+        )
+        from matdeeplearn_tpu.training.train import (
+            scan_eval_epoch_fn,
+            scan_train_epoch_fn,
+        )
+
+        ids_sh = NamedSharding(mesh, P("dp"))
+        train_body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sh)
+        eval_body = _spmd_eval_body(model, loss_fn, spec, mesh, ids_sh)
+        train_step = jax.jit(train_body)
+        eval_step = jax.jit(eval_body)
+        train_epoch_fn = scan_train_epoch_fn(train_body)
+        eval_epoch_fn = scan_eval_epoch_fn(eval_body)
     else:
+        from functools import partial as _partial
+
+        train_body = _partial(T._train_step_body, model, tx, loss_fn, spec)
+        eval_body = _partial(T._eval_step_body, model, loss_fn, spec)
         train_step = T.make_train_step(model, tx, loss, spec)
         eval_step = T.make_eval_step(model, loss, spec)
+        train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec)
+        eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec)
     return Run(
+        train_body=train_body,
+        eval_body=eval_body,
+        lr=lr,
+        scheduler_name=model_parameters.get("scheduler", "ReduceLROnPlateau"),
+        scheduler_args=dict(model_parameters.get("scheduler_args") or {}),
         model=model,
         tx=tx,
         spec=spec,
@@ -119,15 +155,84 @@ def setup_run(
         scheduler=scheduler,
         train_step=train_step,
         eval_step=eval_step,
+        train_epoch_fn=train_epoch_fn,
+        eval_epoch_fn=eval_epoch_fn,
         model_name=model_name,
         model_config=cfg,
         global_batch=bs * dp,
     )
 
 
+def run_fused_training(
+    run: Run,
+    *,
+    train_idx,
+    val_idx,
+    epochs: int,
+    verbosity: int,
+    seed: int,
+    checkpoint_path: str | None = None,
+):
+    """Drive the fused (on-device scheduler) trainer for a Run. Returns
+    (best_state, last_state, final_plateau_state)."""
+    from matdeeplearn_tpu.training.fused import fused_trainer
+
+    sa = run.scheduler_args
+    scheduler_enabled = run.scheduler_name == "ReduceLROnPlateau"
+    scheduler_kwargs = dict(
+        factor=float(sa.get("factor", 0.1)),
+        patience=int(sa.get("patience", 10)),
+        threshold=float(sa.get("threshold", 1e-4)),
+        min_lr=float(sa.get("min_lr", 0.0)),
+        cooldown=int(sa.get("cooldown", 0)),
+        threshold_mode=str(sa.get("threshold_mode", "rel")),
+    )
+    from matdeeplearn_tpu.training.fused import make_fused_epochs_fn
+
+    cache_key = (len(val_idx) > 0, scheduler_enabled,
+                 tuple(sorted(scheduler_kwargs.items())))
+    if cache_key not in run.fused_fns:
+        run.fused_fns[cache_key] = make_fused_epochs_fn(
+            run.train_body, run.eval_body, has_val=len(val_idx) > 0,
+            scheduler_kwargs=scheduler_kwargs,
+            scheduler_enabled=scheduler_enabled,
+        )
+    fused_fn = run.fused_fns[cache_key]
+
+    def checkpoint_fn(carry):
+        if checkpoint_path is None:
+            return
+        best = carry.state.replace(
+            params=carry.best_params, batch_stats=carry.best_stats
+        )
+        run.scheduler.lr = float(carry.sched.lr)
+        save_checkpoint(
+            checkpoint_path, best, run.scheduler, run.model_name, run.model_config
+        )
+
+    return fused_trainer(
+        train_body=run.train_body,
+        eval_body=run.eval_body,
+        state=run.state,
+        data=run.data,
+        train_idx=train_idx,
+        val_idx=val_idx,
+        batch_size=run.global_batch,
+        epochs=epochs,
+        verbosity=verbosity,
+        lr=run.lr,
+        scheduler_kwargs=scheduler_kwargs,
+        scheduler_enabled=scheduler_enabled,
+        rng_key=jax.random.PRNGKey(seed),
+        checkpoint_fn=checkpoint_fn,
+        shuffle_seed_base=seed,
+        fused_fn=fused_fn,
+    )
+
+
 def _final_outputs(run: Run, dataset, idx, batch_size):
-    loss, preds, targs = T.evaluate(
-        run.eval_step, run.state, run.data, idx, batch_size, out=True
+    loss, preds, targs = T.evaluate_scan(
+        run.eval_epoch_fn, run.state, run.data, idx, batch_size, out=True
     )
     ids = [dataset.structure_ids[i] for i in idx]
     return loss, ids, targs, preds
@@ -168,26 +273,20 @@ def train_regular(
         run.state = state
 
     temp_path = job_parameters.get("temp_checkpoint_path", "my_model_temp.ckpt")
-
-    def checkpoint_fn(state, scheduler):
-        save_checkpoint(
-            temp_path, state, scheduler, run.model_name, run.model_config
-        )
-
-    best_state, last_state = T.trainer(
-        train_step=run.train_step,
-        eval_step=run.eval_step,
-        state=run.state,
-        scheduler=run.scheduler,
-        data=run.data,
+    best_state, last_state, final_sched = run_fused_training(
+        run,
         train_idx=train_idx,
         val_idx=val_idx,
-        batch_size=batch_size,
         epochs=int(model_parameters.get("epochs", 250)),
         verbosity=int(training_parameters.get("verbosity", 5)),
-        rng_key=jax.random.PRNGKey(seed),
-        checkpoint_fn=checkpoint_fn if str(job_parameters.get("save_model", "True")) == "True" else None,
+        seed=seed,
+        checkpoint_path=(
+            temp_path
+            if str(job_parameters.get("save_model", "True")) == "True"
+            else None
+        ),
     )
+    run.scheduler.lr = float(final_sched.lr)
     run.state = best_state
 
     errors = {}
@@ -244,11 +343,11 @@ def predict(dataset: D.GraphDataset, loss: str, job_parameters: dict) -> float:
         params=params, batch_stats=batch_stats, opt_state=None,
         step=jnp.zeros((), jnp.int32),
     )
-    eval_step = T.make_eval_step(model, loss, spec)
+    eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec)
 
     t0 = time.time()
     idx = np.arange(len(dataset))
-    err, preds, targs = T.evaluate(eval_step, state, data, idx, batch_size, out=True)
+    err, preds, targs = T.evaluate_scan(eval_epoch_fn, state, data, idx, batch_size, out=True)
     elapsed = time.time() - t0
     print("Evaluation time (s): {:.5f}".format(elapsed))
 
@@ -286,8 +385,8 @@ def train_CV(
             print_model=(k == 0 and bool(model_parameters.get("print_model", True))),
         )
         best_state, _ = T.trainer(
-            train_step=run.train_step,
-            eval_step=run.eval_step,
+            train_epoch_fn=run.train_epoch_fn,
+            eval_epoch_fn=run.eval_epoch_fn,
             state=run.state,
             scheduler=run.scheduler,
             data=run.data,

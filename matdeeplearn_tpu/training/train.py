@@ -131,40 +131,127 @@ def init_state(model, tx, sample_batch, seed: int) -> TrainState:
 # ----------------------------------------------------------------- step fns
 
 
+def _train_step_body(model, tx, loss_fn, spec: BatchSpec, state, data, ids, rng):
+    batch = assemble_batch(data, ids, spec)
+
+    def compute(params):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch,
+            training=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        y = batch.y if out.ndim > 1 else batch.y[:, 0]
+        loss = loss_fn(out, y, batch.graph_mask)
+        return loss, mut.get("batch_stats", state.batch_stats)
+
+    (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+        state.params
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    count = jnp.sum(batch.graph_mask)
+    new_state = state.replace(
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt,
+        step=state.step + 1,
+    )
+    return new_state, loss, count
+
+
 def make_train_step(model, tx, loss_name: str, spec: BatchSpec):
     loss_fn = get_loss(loss_name)
 
     @jax.jit
     def train_step(state: TrainState, data: DeviceDataset, ids, rng):
-        batch = assemble_batch(data, ids, spec)
-
-        def compute(params):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                training=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            y = batch.y if out.ndim > 1 else batch.y[:, 0]
-            loss = loss_fn(out, y, batch.graph_mask)
-            return loss, mut.get("batch_stats", state.batch_stats)
-
-        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
-            state.params
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        count = jnp.sum(batch.graph_mask)
-        new_state = state.replace(
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt,
-            step=state.step + 1,
-        )
-        return new_state, loss, count
+        return _train_step_body(model, tx, loss_fn, spec, state, data, ids, rng)
 
     return train_step
+
+
+def scan_train_epoch_fn(step_body):
+    """Build a whole-epoch program from a step body: lax.scan over steps,
+    one XLA dispatch per epoch — amortizes host→device launch latency
+    (critical behind the axon tunnel, and good practice on real hardware).
+
+    step_body(state, data, ids_row, rng) -> (state, loss, count)
+    """
+
+    @jax.jit
+    def epoch_fn(state: TrainState, data: DeviceDataset, ids_matrix, rng):
+        def body(carry, ids_row):
+            state, rng, loss_sum, count_sum = carry
+            rng, sub = jax.random.split(rng)
+            state, loss, count = step_body(state, data, ids_row, sub)
+            return (state, rng, loss_sum + loss * count, count_sum + count), None
+
+        (state, rng, loss_sum, count_sum), _ = jax.lax.scan(
+            body, (state, rng, jnp.zeros(()), jnp.zeros(())), ids_matrix
+        )
+        return state, loss_sum / jnp.maximum(count_sum, 1.0)
+
+    return epoch_fn
+
+
+def scan_eval_epoch_fn(eval_body):
+    """Whole-split evaluation in one dispatch: scan over batches, stacked
+    per-graph outputs in id order.
+
+    eval_body(state, data, ids_row) -> (loss, count, out)
+    """
+
+    @jax.jit
+    def epoch_fn(state: TrainState, data: DeviceDataset, ids_matrix):
+        def body(carry, ids_row):
+            loss_sum, count_sum = carry
+            loss, count, out = eval_body(state, data, ids_row)
+            return (loss_sum + loss * count, count_sum + count), out
+
+        (loss_sum, count_sum), outs = jax.lax.scan(
+            body, (jnp.zeros(()), jnp.zeros(())), ids_matrix
+        )
+        return loss_sum / jnp.maximum(count_sum, 1.0), outs
+
+    return epoch_fn
+
+
+def _eval_step_body(model, loss_fn, spec: BatchSpec, state, data, ids):
+    batch = assemble_batch(data, ids, spec)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch,
+        training=False,
+    )
+    y = batch.y if out.ndim > 1 else batch.y[:, 0]
+    loss = loss_fn(out, y, batch.graph_mask)
+    return loss, jnp.sum(batch.graph_mask), out
+
+
+def make_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec):
+    loss_fn = get_loss(loss_name)
+    return scan_train_epoch_fn(
+        partial(_train_step_body, model, tx, loss_fn, spec)
+    )
+
+
+def make_eval_epoch_fn(model, loss_name: str, spec: BatchSpec):
+    loss_fn = get_loss(loss_name)
+    return scan_eval_epoch_fn(partial(_eval_step_body, model, loss_fn, spec))
+
+
+def epoch_id_matrix(indices, batch_size: int, shuffle: bool, seed) -> np.ndarray:
+    """(S, B) int32 dataset-id matrix for one epoch; -1 pads the tail."""
+    indices = np.asarray(indices)
+    n = len(indices)
+    order = indices.copy()
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    steps = max(1, -(-n // batch_size))
+    padded = np.full(steps * batch_size, -1, dtype=np.int64)
+    padded[:n] = order
+    return padded.reshape(steps, batch_size).astype(np.int32)
 
 
 def make_eval_step(model, loss_name: str, spec: BatchSpec):
@@ -187,6 +274,29 @@ def make_eval_step(model, loss_name: str, spec: BatchSpec):
 
 
 # ------------------------------------------------------------- epoch drivers
+
+
+def train_epoch_scan(epoch_fn, state, data, indices, batch_size, rng_key, shuffle_seed):
+    """One epoch through the scanned whole-epoch program (one dispatch)."""
+    ids = epoch_id_matrix(indices, batch_size, shuffle=True, seed=shuffle_seed)
+    rng_key, sub = jax.random.split(rng_key)
+    state, loss = epoch_fn(state, data, jnp.asarray(ids), sub)
+    return state, float(loss), rng_key
+
+
+def evaluate_scan(eval_epoch_fn, state, data, indices, batch_size, out: bool = False):
+    """Mean loss (and optionally predictions/targets in `indices` order)
+    via the scanned eval program."""
+    ids = epoch_id_matrix(indices, batch_size, shuffle=False, seed=None)
+    loss, outs = eval_epoch_fn(state, data, jnp.asarray(ids))
+    if not out:
+        return float(loss)
+    outs = np.asarray(outs)
+    outs = outs.reshape((-1,) + outs.shape[2:])[: len(indices)]
+    targs = np.asarray(data.y)[np.asarray(indices)]
+    if outs.ndim == 1 and targs.ndim == 2 and targs.shape[1] == 1:
+        targs = targs[:, 0]
+    return float(loss), outs, targs
 
 
 def train_epoch(train_step, state, data, indices, batch_size, rng_key, shuffle_seed):
@@ -236,8 +346,8 @@ def evaluate(eval_step, state, data, indices, batch_size, out: bool = False):
 
 def trainer(
     *,
-    train_step,
-    eval_step,
+    train_epoch_fn,
+    eval_epoch_fn,
     state: TrainState,
     scheduler,
     data: DeviceDataset,
@@ -251,19 +361,20 @@ def trainer(
     report_fn=None,
 ):
     """Epoch loop with best-val tracking and plateau scheduling on the
-    *train* error (reference trainer(), training/training.py:96-207)."""
+    *train* error (reference trainer(), training/training.py:96-207).
+    Each epoch is one scanned XLA dispatch."""
     best_val_error = float("inf")
     best_state = state
     val_error = float("nan")
     t0 = time.time()
     for epoch in range(1, epochs + 1):
         lr = scheduler.lr
-        state, train_error, rng_key = train_epoch(
-            train_step, state, data, train_idx, batch_size, rng_key,
+        state, train_error, rng_key = train_epoch_scan(
+            train_epoch_fn, state, data, train_idx, batch_size, rng_key,
             shuffle_seed=epoch,
         )
         if len(val_idx) > 0:
-            val_error = evaluate(eval_step, state, data, val_idx, batch_size)
+            val_error = evaluate_scan(eval_epoch_fn, state, data, val_idx, batch_size)
             if not np.isfinite(val_error) or val_error < best_val_error:
                 best_state = state
                 if checkpoint_fn is not None:
