@@ -199,9 +199,18 @@ def run_fused_training(
         )
     fused_fn = run.fused_fns[cache_key]
 
+    last_saved_val = [float("inf")]
+
     def checkpoint_fn(carry):
+        # Save only when the best-val actually improved since the last save
+        # (reference checkpoints per improvement, training.py:143-155; we
+        # batch that to chunk granularity to avoid device→host param pulls).
         if checkpoint_path is None:
             return
+        best_val = float(carry.best_val)
+        if np.isfinite(last_saved_val[0]) and best_val >= last_saved_val[0]:
+            return
+        last_saved_val[0] = best_val
         best = carry.state.replace(
             params=carry.best_params, batch_stats=carry.best_stats
         )
