@@ -224,15 +224,24 @@ def process_data(data_path: str, processed_path: str, processing_args: dict) -> 
         [[float(v) for v in row[1:]] for row in target_data], dtype=np.float32
     )
 
-    # Build graphs.
-    all_src, all_dst, all_dist = [], [], []
-    for i, s in enumerate(structures):
-        src, dst, dist = G.build_graph(s, radius, max_neighbors)
-        all_src.append(src)
-        all_dst.append(dst)
-        all_dist.append(dist)
-        if verbose and ((i + 1) % 500 == 0 or (i + 1) == len(structures)):
-            print(f"Data processed: {i + 1} out of {len(structures)}")
+    # Build graphs — native C++ featurizer (OpenMP over structures) when
+    # available, exact-match numpy fallback otherwise.
+    from matdeeplearn_tpu.data.native import featurize_structures
+
+    native_out = featurize_structures(structures, radius, max_neighbors)
+    if native_out is not None:
+        all_src, all_dst, all_dist = native_out
+        if verbose:
+            print(f"Data processed (native): {len(structures)} out of {len(structures)}")
+    else:
+        all_src, all_dst, all_dist = [], [], []
+        for i, s in enumerate(structures):
+            src, dst, dist = G.build_graph(s, radius, max_neighbors)
+            all_src.append(src)
+            all_dst.append(dst)
+            all_dist.append(dist)
+            if verbose and ((i + 1) % 500 == 0 or (i + 1) == len(structures)):
+                print(f"Data processed: {i + 1} out of {len(structures)}")
 
     species = sorted({int(z) for s in structures for z in s.numbers})
     if verbose:
