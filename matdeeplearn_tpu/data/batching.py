@@ -40,14 +40,19 @@ class BatchSpec:
     num_edges: int   # padded edge slots
 
     @classmethod
-    def for_dataset(cls, node_counts, edge_counts, batch_size: int, align: int = 8):
+    def for_dataset(cls, node_counts, edge_counts, batch_size: int, align: int = 8,
+                    align_edges: int | None = None):
         """Tight upper bound over any batch of `batch_size` graphs: the sum of
         the `batch_size` largest node/edge counts, aligned for TPU tiling.
         Guarantees zero recompilation and zero overflow for any shuffle."""
         b = min(batch_size, len(node_counts))
         n = int(np.sort(np.asarray(node_counts))[-b:].sum())
         e = int(np.sort(np.asarray(edge_counts))[-b:].sum())
-        return cls(batch_size, round_up(max(n, 1), align), round_up(max(e, 1), align))
+        return cls(
+            batch_size,
+            round_up(max(n, 1), align),
+            round_up(max(e, 1), align_edges or align),
+        )
 
 
 class DeviceDataset(struct.PyTreeNode):
@@ -117,6 +122,23 @@ class GraphBatch(struct.PyTreeNode):
     u: jax.Array            # (B, 3)
     n_node: jax.Array       # (B,) int32 true node counts
     extra: jax.Array | None = None  # (B, D) whole-structure descriptors
+    # Windowed-layout extras (assemble_batch_windowed): present when the
+    # batch uses the graph-aligned windowed edge order for Pallas kernels.
+    # In windowed batches edge_dst is -1 on pad slots (use edge_dst_safe
+    # for XLA gathers) and edges are ordered by (window, dst).
+    tile_window: jax.Array | None = None  # (T,) int32 window id per edge tile
+    tile_first: jax.Array | None = None   # (T,) int32 1 = first tile of window
+    in_degree: jax.Array | None = None    # (N_pad,) float32 true in-degree
+    window_size: int = struct.field(pytree_node=False, default=0)  # tw (static)
+
+    @property
+    def edge_dst_safe(self) -> jax.Array:
+        """edge_dst with pad markers clipped for XLA gathers."""
+        return jnp.maximum(self.edge_dst, 0)
+
+    @property
+    def is_windowed(self) -> bool:
+        return self.tile_window is not None
 
     @property
     def num_graphs(self) -> int:
@@ -189,6 +211,141 @@ def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -
         u=data.u[ids],
         n_node=ncounts.astype(jnp.int32),
         extra=None if data.extra is None else data.extra[ids],
+    )
+
+
+class WindowedDeviceData(struct.PyTreeNode):
+    """Per-graph windowed layout arrays resident on device (companion to
+    DeviceDataset; built from data/windowed.py:WindowedLayout)."""
+
+    worder: jax.Array        # (EW_tot,) int32 graph-local edge index
+    wvalid: jax.Array        # (EW_tot,) float32
+    wdst: jax.Array          # (EW_tot,) int32 graph-local dst, -1 pads
+    wedge_ptr: jax.Array     # (G+1,) int32
+    wedge_counts: jax.Array  # (G,) int32
+    tile_window: jax.Array   # (T_tot,) int32 graph-local window ids
+    tile_first: jax.Array    # (T_tot,) int32
+    tile_ptr: jax.Array      # (G+1,) int32
+    tile_counts: jax.Array   # (G,) int32
+    node_counts_w: jax.Array  # (G,) int32 window-padded node counts
+    in_degree: jax.Array     # (N_tot,) float32
+
+    @classmethod
+    def from_layout(cls, layout) -> "WindowedDeviceData":
+        return cls(
+            worder=jnp.asarray(layout.worder, jnp.int32),
+            wvalid=jnp.asarray(layout.wvalid, jnp.float32),
+            wdst=jnp.asarray(layout.wdst, jnp.int32),
+            wedge_ptr=jnp.asarray(layout.wedge_ptr, jnp.int32),
+            wedge_counts=jnp.asarray(layout.wedge_counts, jnp.int32),
+            tile_window=jnp.asarray(layout.tile_window, jnp.int32),
+            tile_first=jnp.asarray(layout.tile_first, jnp.int32),
+            tile_ptr=jnp.asarray(layout.tile_ptr, jnp.int32),
+            tile_counts=jnp.asarray(layout.tile_counts, jnp.int32),
+            node_counts_w=jnp.asarray(layout.node_counts_w, jnp.int32),
+            in_degree=jnp.asarray(layout.in_degree, jnp.float32),
+        )
+
+
+def assemble_batch_windowed(
+    data: DeviceDataset,
+    wdata: WindowedDeviceData,
+    graph_ids: jax.Array,
+    spec: BatchSpec,
+    tw: int,
+    te: int,
+) -> GraphBatch:
+    """Windowed-batch assembly: like assemble_batch but nodes occupy
+    window-padded slots (graph g starts at a multiple of tw) and edges are
+    in the per-graph windowed order, with -1 dst on pad slots and per-tile
+    window metadata for the Pallas MXU segment-sum. All gathers, no
+    scatters — jit/scan-safe.
+    """
+    B, N, E = spec.num_graphs, spec.num_nodes, spec.num_edges
+    assert N % tw == 0 and E % te == 0
+    T = E // te
+    NW = N // tw
+    graph_ids = jnp.asarray(graph_ids, jnp.int32)
+    gmask = graph_ids >= 0
+    ids = jnp.where(gmask, graph_ids, 0)
+
+    ncounts = jnp.where(gmask, data.node_counts[ids], 0)      # real
+    ncounts_w = jnp.where(gmask, wdata.node_counts_w[ids], 0)  # padded
+    ncum_w = jnp.cumsum(ncounts_w)
+    node_off_w = ncum_w - ncounts_w
+    n_total_w = ncum_w[-1]
+
+    # --- nodes (window-padded slots) --------------------------------------
+    slot = jnp.arange(N, dtype=jnp.int32)
+    g_of_node = jnp.searchsorted(ncum_w, slot, side="right").astype(jnp.int32)
+    in_range = slot < n_total_w
+    g_safe = jnp.minimum(g_of_node, B - 1)
+    local = slot - node_off_w[g_safe]
+    node_valid = in_range & (local < ncounts[g_safe])
+    src_index = jnp.where(node_valid, data.node_ptr[ids[g_safe]] + local, 0)
+    x = jnp.where(node_valid[:, None], data.node_x[src_index], 0.0)
+    node_graph = jnp.where(node_valid, g_of_node, B).astype(jnp.int32)
+    in_degree = jnp.where(node_valid, wdata.in_degree[src_index], 1.0)
+
+    # --- edges (windowed order) -------------------------------------------
+    ecounts = jnp.where(gmask, wdata.wedge_counts[ids], 0)
+    ecum = jnp.cumsum(ecounts)
+    edge_off = ecum - ecounts
+    e_total = ecum[-1]
+    eslot = jnp.arange(E, dtype=jnp.int32)
+    g_of_edge = jnp.searchsorted(ecum, eslot, side="right").astype(jnp.int32)
+    e_in_range = eslot < e_total
+    eg_safe = jnp.minimum(g_of_edge, B - 1)
+    elocal = eslot - edge_off[eg_safe]
+    wslot = jnp.where(e_in_range, wdata.wedge_ptr[ids[eg_safe]] + elocal, 0)
+    edge_valid = e_in_range & (wdata.wvalid[wslot] > 0)
+    # graph-local edge index → global edge index in the base arrays
+    ge = data.edge_ptr[ids[eg_safe]] + wdata.worder[wslot]
+    ge = jnp.where(edge_valid, ge, 0)
+    esrc = jnp.where(edge_valid, data.edge_src[ge] + node_off_w[eg_safe], 0)
+    ldst = wdata.wdst[wslot]
+    edst = jnp.where(edge_valid, ldst + node_off_w[eg_safe], -1)
+    ew = jnp.where(edge_valid, data.edge_weight[ge], 0.0)
+    ed = jnp.where(edge_valid, data.edge_dist_norm[ge], 0.0)
+
+    # --- tiles -------------------------------------------------------------
+    tcounts = jnp.where(gmask, wdata.tile_counts[ids], 0)
+    tcum = jnp.cumsum(tcounts)
+    tile_off = tcum - tcounts
+    t_total = tcum[-1]
+    tslot = jnp.arange(T, dtype=jnp.int32)
+    g_of_tile = jnp.searchsorted(tcum, tslot, side="right").astype(jnp.int32)
+    t_in_range = tslot < t_total
+    tg_safe = jnp.minimum(g_of_tile, B - 1)
+    tlocal = tslot - tile_off[tg_safe]
+    tidx = jnp.where(t_in_range, wdata.tile_ptr[ids[tg_safe]] + tlocal, 0)
+    window_off = node_off_w // tw
+    wid = wdata.tile_window[tidx] + window_off[tg_safe]
+    # trailing capacity tiles: park on the last used window (their dst=-1
+    # slots contribute nothing; unvisited windows are masked downstream)
+    last_w = jnp.maximum(n_total_w // tw - 1, 0)
+    wid = jnp.where(t_in_range, wid, last_w).astype(jnp.int32)
+    wid = jnp.minimum(wid, NW - 1)
+    tfirst = jnp.where(t_in_range, wdata.tile_first[tidx], 0).astype(jnp.int32)
+
+    return GraphBatch(
+        x=x,
+        edge_src=esrc.astype(jnp.int32),
+        edge_dst=edst.astype(jnp.int32),
+        edge_weight=ew,
+        edge_dist_norm=ed,
+        node_graph=node_graph,
+        node_mask=node_valid.astype(jnp.float32),
+        edge_mask=edge_valid.astype(jnp.float32),
+        graph_mask=gmask.astype(jnp.float32),
+        y=data.y[ids] * gmask[:, None].astype(data.y.dtype),
+        u=data.u[ids],
+        n_node=ncounts.astype(jnp.int32),
+        extra=None if data.extra is None else data.extra[ids],
+        tile_window=wid,
+        tile_first=tfirst,
+        in_degree=in_degree,
+        window_size=tw,
     )
 
 

@@ -37,10 +37,7 @@ class GCN(GNNBase):
         fn = get_activation(self.act)
         out = self.apply_pre_fc(batch.x)
         for i in range(self.gc_count):
-            out = GCNConv(self.gc_dim, name=f"conv{i}")(
-                out, batch.edge_src, batch.edge_dst,
-                batch.edge_weight, batch.edge_mask,
-            )
+            out = GCNConv(self.gc_dim, name=f"conv{i}")(out, batch)
             if self.batch_norm:
                 out = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

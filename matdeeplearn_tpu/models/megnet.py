@@ -69,12 +69,7 @@ class MEGNet(GNNBase):
                 self.dim3, self.gc_fc_count, act=self.act,
                 batch_norm=self.batch_norm, track_stats=self.batch_track_stats,
                 dropout_rate=self.dropout_rate, name=f"conv{i}",
-            )(
-                x_temp, e_temp, u_temp,
-                batch.edge_src, batch.edge_dst, batch.node_graph,
-                batch.edge_mask, batch.node_mask, batch.graph_mask,
-                B, training=training,
-            )
+            )(x_temp, e_temp, u_temp, batch, training=training)
             if i == 0:
                 x, e, u = x_out + x_temp, e_out + e_temp, u_out + u_temp
             else:

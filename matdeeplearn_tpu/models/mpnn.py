@@ -48,9 +48,7 @@ class MPNN(GNNBase):
                 act_last=False,
                 name=f"edge_nn{i}",
             )
-            m = NNConv(self.gc_dim, edge_net, name=f"conv{i}")(
-                out, batch.edge_src, batch.edge_dst, edge_attr, batch.edge_mask
-            )
+            m = NNConv(self.gc_dim, edge_net, name=f"conv{i}")(out, batch, edge_attr)
             if self.batch_norm:
                 m = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -42,10 +42,7 @@ class SchNet(GNNBase):
         for i in range(self.gc_count):
             out = out + SchNetInteraction(
                 self.gc_dim, self.dim3, self.cutoff, name=f"conv{i}"
-            )(
-                out, batch.edge_src, batch.edge_dst,
-                batch.edge_weight, edge_attr, batch.edge_mask,
-            )
+            )(out, batch, edge_attr)
             if self.batch_norm:
                 out = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -1,6 +1,7 @@
 """Graph convolution primitives, re-derived from the PyG math the reference
-uses — not ported. Each layer operates on static-shape padded edge lists with
-explicit masks (see data/batching.py) and aggregates via ops/segment.
+uses — not ported. Each layer operates on the static-shape padded batch
+(data/batching.py) with explicit masks; edge→node aggregation dispatches to
+the Pallas windowed MXU kernel or masked XLA segment ops (ops/aggregate.py).
 
 Reference operators being matched:
   * CGConv            (models/cgcnn.py:80-82; PyG gated crystal-graph conv)
@@ -28,6 +29,7 @@ from matdeeplearn_tpu.nn.layers import (
     xavier_uniform,
 )
 from matdeeplearn_tpu.ops import segment
+from matdeeplearn_tpu.ops.aggregate import edge_aggregate
 
 
 class CGConv(nn.Module):
@@ -37,16 +39,13 @@ class CGConv(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_attr, edge_mask):
+    def __call__(self, x, batch, edge_attr):
         z = jnp.concatenate(
-            [x[edge_dst], x[edge_src], edge_attr], axis=-1
+            [x[batch.edge_dst_safe], x[batch.edge_src], edge_attr], axis=-1
         )  # [x_i, x_j, e] — PyG CGConv concat order
         gate = jax.nn.sigmoid(Linear(self.dim, name="lin_f")(z))
         core = jax.nn.softplus(Linear(self.dim, name="lin_s")(z))
-        msg = gate * core
-        agg = segment.segment_mean(
-            msg, edge_dst, num_segments=x.shape[0], mask=edge_mask
-        )
+        agg = edge_aggregate(gate * core, batch, reduce="mean")
         return x + agg
 
 
@@ -59,15 +58,14 @@ class NNConv(nn.Module):
     edge_net: nn.Module
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_attr, edge_mask):
+    def __call__(self, x, batch, edge_attr):
         din = x.shape[-1]
         w_e = self.edge_net(edge_attr).reshape(-1, din, self.dim)
         msg = jnp.einsum(
-            "ed,edk->ek", x[edge_src], w_e, preferred_element_type=jnp.float32
+            "ed,edk->ek", x[batch.edge_src], w_e,
+            preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        agg = segment.segment_mean(
-            msg, edge_dst, num_segments=x.shape[0], mask=edge_mask
-        )
+        agg = edge_aggregate(msg, batch, reduce="mean")
         bound = 1.0 / (din ** 0.5)
         root = self.param(
             "root",
@@ -88,21 +86,19 @@ class SchNetInteraction(nn.Module):
     cutoff: float
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_weight, edge_attr, edge_mask):
+    def __call__(self, x, batch, edge_attr):
         w = Linear(self.filters, kernel_init=xavier_uniform(),
                    bias_init=nn.initializers.zeros, name="mlp0")(edge_attr)
         w = shifted_softplus(w)
         w = Linear(self.filters, kernel_init=xavier_uniform(),
                    bias_init=nn.initializers.zeros, name="mlp1")(w)
-        c = 0.5 * (jnp.cos(edge_weight * jnp.pi / self.cutoff) + 1.0)
-        w = w * c[:, None]
+        c = 0.5 * (jnp.cos(batch.edge_weight * jnp.pi / self.cutoff) + 1.0)
+        w = w * (c * batch.edge_mask)[:, None]
 
         h = Linear(self.filters, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin1")(x)
-        msg = h[edge_src] * w
-        agg = segment.segment_sum(
-            msg, edge_dst, num_segments=x.shape[0], mask=edge_mask
-        )
+        msg = h[batch.edge_src] * w
+        agg = edge_aggregate(msg, batch, reduce="sum")
         out = Linear(self.dim, kernel_init=xavier_uniform(),
                      bias_init=nn.initializers.zeros, name="lin2")(agg)
         out = shifted_softplus(out)
@@ -120,16 +116,16 @@ class GCNConv(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_weight, edge_mask):
+    def __call__(self, x, batch):
         n = x.shape[0]
-        ew = edge_weight * edge_mask
-        deg = segment.segment_sum(ew, edge_dst, num_segments=n)
+        ew = batch.edge_weight * batch.edge_mask
+        deg = edge_aggregate(ew[:, None], batch, reduce="sum")[:, 0]
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
-        norm = dis[edge_src] * ew * dis[edge_dst]
+        norm = dis[batch.edge_src] * ew * dis[batch.edge_dst_safe]
         h = Linear(self.dim, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin")(x)
-        msg = norm[:, None] * h[edge_src]
-        out = segment.segment_sum(msg, edge_dst, num_segments=n, mask=edge_mask)
+        msg = norm[:, None] * h[batch.edge_src]
+        out = edge_aggregate(msg, batch, reduce="sum")
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         return out + bias
 
@@ -166,7 +162,8 @@ class MEGNetBlock(nn.Module):
       x' = φ_v([x ‖ mean_{e out of i} e' ‖ u[g(i)]])
       u' = φ_u([mean_g mean_{src} e' ‖ mean_g x ‖ u])
     Means aggregate edge features at the *source* node (megnet.py:86,130),
-    then nodes per graph. num_graph segments include the pad segment."""
+    then nodes per graph — source-side aggregation stays on the XLA path.
+    """
 
     dim: int
     fc_layers: int
@@ -176,43 +173,47 @@ class MEGNetBlock(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(
-        self, x, e, u, edge_src, edge_dst, node_graph, edge_mask, node_mask,
-        graph_mask, num_graphs: int, training: bool = False,
-    ):
+    def __call__(self, x, e, u, batch, training: bool = False):
         n = x.shape[0]
+        num_graphs = batch.num_graphs
         mlp = dict(
             dim=self.dim, layers=self.fc_layers, act=self.act,
             batch_norm=self.batch_norm, track_stats=self.track_stats,
             dropout_rate=self.dropout_rate,
         )
-        edge_graph = node_graph[edge_src]
+        edge_src = batch.edge_src
+        edge_graph = batch.node_graph[edge_src]
+        node_graph = batch.node_graph
 
         comb_e = jnp.concatenate(
-            [x[edge_src], x[edge_dst], e, u[jnp.minimum(edge_graph, num_graphs - 1)]],
+            [x[edge_src], x[batch.edge_dst_safe], e,
+             u[jnp.minimum(edge_graph, num_graphs - 1)]],
             axis=-1,
         )
-        e_out = MEGNetMLP(**{**mlp, "layers": self.fc_layers}, name="edge_mlp")(
-            comb_e, mask=edge_mask, training=training
+        e_out = MEGNetMLP(**mlp, name="edge_mlp")(
+            comb_e, mask=batch.edge_mask, training=training
         )
 
-        v_e = segment.segment_mean(e_out, edge_src, num_segments=n, mask=edge_mask)
+        v_e = segment.segment_mean(
+            e_out, edge_src, num_segments=n, mask=batch.edge_mask
+        )
         comb_v = jnp.concatenate(
             [x, v_e, u[jnp.minimum(node_graph, num_graphs - 1)]], axis=-1
         )
         x_out = MEGNetMLP(**mlp, name="node_mlp")(
-            comb_v, mask=node_mask, training=training
+            comb_v, mask=batch.node_mask, training=training
         )
 
-        u_e = segment.segment_mean(e_out, edge_src, num_segments=n, mask=edge_mask)
+        u_e = segment.segment_mean(e_out, edge_src, num_segments=n,
+                                   mask=batch.edge_mask)
         u_e = segment.segment_mean(
-            u_e, node_graph, num_segments=num_graphs + 1, mask=node_mask
+            u_e, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
         )[:num_graphs]
         u_v = segment.segment_mean(
-            x, node_graph, num_segments=num_graphs + 1, mask=node_mask
+            x, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
         )[:num_graphs]
         comb_u = jnp.concatenate([u_e, u_v, u], axis=-1)
         u_out = MEGNetMLP(**mlp, name="global_mlp")(
-            comb_u, mask=graph_mask, training=training
+            comb_u, mask=batch.graph_mask, training=training
         )
         return x_out, e_out, u_out

@@ -1,0 +1,117 @@
+"""Windowed MXU segment-sum/gather kernels vs XLA references (interpret
+mode on CPU; the same code path compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matdeeplearn_tpu.ops import pallas_segment as PS
+
+
+def _sorted_edges(rng, e, n):
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    # guarantee every node appears (self-loop invariant of the featurizer)
+    dst[:n] = np.arange(n)
+    dst = np.sort(dst)
+    return dst
+
+
+@pytest.mark.parametrize("e,n,d", [(96, 40, 16), (256, 100, 8)])
+def test_windowize_layout(rng, e, n, d):
+    tw, te = 16, 32
+    dst = _sorted_edges(rng, e, n)
+    mask = np.ones(e, np.float32)
+    mask[-5:] = 0
+    dst[-5:] = n - 1  # pads parked at the tail with the last dst
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    order = np.asarray(we.order)
+    wdst = np.asarray(we.dst)
+    valid = np.asarray(we.valid)
+    # every real edge appears exactly once
+    real = np.where(mask > 0)[0]
+    assert sorted(order[valid > 0].tolist()) == sorted(real.tolist())
+    # window invariant: dst of slot s lies in its window
+    nw, ew = PS.windowed_sizes(n, e, tw, te)
+    assert wdst.shape[0] == ew
+    tile_wid = np.asarray(we.window_id)
+    for t in range(we.num_tiles):
+        seg = wdst[t * te : (t + 1) * te]
+        seg = seg[seg >= 0]
+        if len(seg):
+            assert (seg // tw == tile_wid[t]).all()
+    # first_tile marks each window exactly once (every window has >=1 tile)
+    assert np.asarray(we.first_tile).sum() == PS.windowed_sizes(n, e, tw, te)[0]
+
+
+@pytest.mark.parametrize("e,n,d", [(128, 48, 8), (512, 200, 32)])
+def test_windowed_segment_sum_matches_xla(rng, e, n, d):
+    tw, te = 16, 64
+    dst = _sorted_edges(rng, e, n)
+    mask = np.ones(e, np.float32)
+    mask[-7:] = 0
+    dst[-7:] = dst[-8]
+    msgs = rng.standard_normal((e, d)).astype(np.float32)
+
+    want = jax.ops.segment_sum(
+        jnp.asarray(msgs * mask[:, None]), jnp.asarray(dst), num_segments=n
+    )
+
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    wmsgs = jnp.asarray(msgs)[we.order]
+    got = PS.windowed_segment_sum(wmsgs, we, n, tw, te, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_windowed_gather_matches_xla(rng):
+    e, n, d, tw, te = 160, 64, 8, 16, 32
+    dst = _sorted_edges(rng, e, n)
+    mask = np.ones(e, np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    got = PS.windowed_gather(jnp.asarray(x), we, tw, te, True)
+    want = np.where(
+        np.asarray(we.dst)[:, None] >= 0,
+        x[np.clip(np.asarray(we.dst), 0, n - 1)],
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_windowed_segment_sum_grad(rng):
+    e, n, d, tw, te = 96, 32, 8, 16, 32
+    dst = _sorted_edges(rng, e, n)
+    mask = np.ones(e, np.float32)
+    msgs = rng.standard_normal((e, d)).astype(np.float32)
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    wmsgs = jnp.asarray(msgs)[we.order]
+    cot = rng.standard_normal((n, d)).astype(np.float32)
+
+    def f(m):
+        return jnp.sum(PS.windowed_segment_sum(m, we, n, tw, te, True) * cot)
+
+    g = jax.grad(f)(wmsgs)
+    # d/dm[e] = cot[dst[e]]
+    want = np.where(
+        np.asarray(we.dst)[:, None] >= 0,
+        cot[np.clip(np.asarray(we.dst), 0, n - 1)],
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+
+def test_empty_window_zeroed(rng):
+    # nodes 16..31 form a window with no edges at all → zeros
+    e, n, d, tw, te = 32, 48, 8, 16, 16
+    dst = np.concatenate([
+        np.sort(rng.integers(0, 16, 16)),
+        np.sort(rng.integers(32, 48, 16)),
+    ]).astype(np.int32)
+    mask = np.ones(e, np.float32)
+    msgs = rng.standard_normal((e, d)).astype(np.float32)
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    wmsgs = jnp.asarray(msgs)[we.order]
+    out = PS.windowed_segment_sum(wmsgs, we, n, tw, te, True)
+    want = jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(dst), num_segments=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    assert np.abs(np.asarray(out)[16:32]).max() == 0
