@@ -70,6 +70,7 @@ class DeviceDataset(struct.PyTreeNode):
     y: jax.Array             # (G, T) float32 — after target-index selection
     u: jax.Array             # (G, 3) float32
     extra: jax.Array | None = None  # (G, D) whole-structure descriptors (SOAP/SM)
+    windowed: "WindowedDeviceData | None" = None  # Pallas windowed layout
 
     @classmethod
     def from_graph_dataset(cls, ds, extra_key: str | None = None) -> "DeviceDataset":

@@ -53,6 +53,7 @@ class GraphDataset:
     target_index: int = 0     # -1 = all columns (multi-output)
     extra_features: dict[str, np.ndarray] = field(default_factory=dict)
     species: list[int] = field(default_factory=list)
+    cache_dir: str | None = None  # processed dir (for auxiliary caches)
 
     @property
     def num_graphs(self) -> int:
@@ -124,6 +125,50 @@ class GraphDataset:
             self.edge_dist_norm, 0.0, 1.0, self.edge_resolution, self.edge_width
         )
 
+    def windowed_layout(self, tw: int | None = None, te: int = 128):
+        """Graph-aligned windowed edge layout for the Pallas aggregation
+        kernels (data/windowed.py), memoized in-memory and on disk next to
+        the processed cache."""
+        from matdeeplearn_tpu.data import windowed as W
+
+        if not hasattr(self, "_windowed_memo"):
+            object.__setattr__(self, "_windowed_memo", {})
+        ncounts = self.node_counts()
+        if tw is None:
+            tw = int(min(128, max(8, W.round_up(
+                int(np.percentile(ncounts, 95)) if len(ncounts) else 8, 8))))
+        key = (tw, te)
+        if key in self._windowed_memo:
+            return self._windowed_memo[key]
+        path = (
+            os.path.join(self.cache_dir, f"windowed_{tw}_{te}.npz")
+            if self.cache_dir else None
+        )
+        layout = None
+        if path and os.path.exists(path):
+            z = np.load(path)
+            layout = W.WindowedLayout(
+                tw=tw, te=te,
+                worder=z["worder"], wvalid=z["wvalid"], wdst=z["wdst"],
+                wedge_ptr=z["wedge_ptr"], tile_window=z["tile_window"],
+                tile_first=z["tile_first"], tile_ptr=z["tile_ptr"],
+                node_counts_w=z["node_counts_w"], in_degree=z["in_degree"],
+            )
+        if layout is None:
+            layout = W.build_windowed_layout(self, tw=tw, te=te)
+            if path:
+                np.savez_compressed(
+                    path,
+                    worder=layout.worder, wvalid=layout.wvalid,
+                    wdst=layout.wdst, wedge_ptr=layout.wedge_ptr,
+                    tile_window=layout.tile_window,
+                    tile_first=layout.tile_first, tile_ptr=layout.tile_ptr,
+                    node_counts_w=layout.node_counts_w,
+                    in_degree=layout.in_degree,
+                )
+        self._windowed_memo[key] = layout
+        return layout
+
     # ------------------------------------------------------------------ cache
 
     def save(self, path: str):
@@ -147,6 +192,7 @@ class GraphDataset:
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+        self.cache_dir = path
 
     @classmethod
     def load(cls, path: str, target_index: int = 0) -> "GraphDataset":
@@ -170,6 +216,7 @@ class GraphDataset:
             target_index=target_index,
             extra_features=extra,
             species=list(meta.get("species", [])),
+            cache_dir=path,
         )
 
 

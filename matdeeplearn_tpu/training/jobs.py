@@ -79,10 +79,44 @@ def setup_run(
     bs = int(batch_size or model_parameters.get("batch_size", 100))
     dp = int(mesh.shape["dp"]) if mesh is not None else 1
     ep = int(mesh.shape["ep"]) if mesh is not None else 1
-    spec = BatchSpec.for_dataset(
-        dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
+
+    # Aggregation kernel selection: "pallas" forces the windowed MXU
+    # segment-sum, "xla" the scatter path; "auto" enables Pallas on TPU for
+    # message-passing models once the per-batch edge count is large enough
+    # for the scatter to dominate (see ops/pallas_segment.py).
+    kernel = str(model_parameters.get("kernel", "auto")).lower()
+    eligible = model_name not in ("SM", "SOAP") and mesh is None
+    edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
+    use_windowed = eligible and (
+        kernel == "pallas"
+        or (kernel == "auto" and jax.default_backend() == "tpu"
+            and edges_per_batch >= 65536)
     )
-    data = DeviceDataset.from_graph_dataset(dataset)
+
+    if use_windowed:
+        from matdeeplearn_tpu.data.batching import (
+            WindowedDeviceData,
+            assemble_batch_windowed,
+        )
+
+        layout = dataset.windowed_layout()
+        tw, te = layout.tw, layout.te
+        spec = BatchSpec.for_dataset(
+            layout.node_counts_w, layout.wedge_counts, bs,
+            align=max(8 * ep, tw), align_edges=te,
+        )
+        data = DeviceDataset.from_graph_dataset(dataset).replace(
+            windowed=WindowedDeviceData.from_layout(layout)
+        )
+        assemble_fn = lambda d, i: assemble_batch_windowed(
+            d, d.windowed, i, spec, tw, te
+        )
+    else:
+        spec = BatchSpec.for_dataset(
+            dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
+        )
+        data = DeviceDataset.from_graph_dataset(dataset)
+        assemble_fn = None
     lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
     tx = build_optimizer(
         model_parameters.get("optimizer", "AdamW"),
@@ -98,7 +132,10 @@ def setup_run(
         np.arange(min(bs, len(dataset)), dtype=np.int32)
     )
     sample_ids = jnp.pad(sample_ids, (0, bs - sample_ids.shape[0]), constant_values=-1)
-    sample_batch = T.assemble_batch(data, sample_ids, spec)
+    if assemble_fn is not None:
+        sample_batch = jax.jit(assemble_fn)(data, sample_ids)
+    else:
+        sample_batch = T.assemble_batch(data, sample_ids, spec)
     state = T.init_state(model, tx, sample_batch, seed)
     if print_model:
         model_summary(state.params, model_name)
@@ -135,12 +172,16 @@ def setup_run(
     else:
         from functools import partial as _partial
 
-        train_body = _partial(T._train_step_body, model, tx, loss_fn, spec)
-        eval_body = _partial(T._eval_step_body, model, loss_fn, spec)
-        train_step = T.make_train_step(model, tx, loss, spec)
-        eval_step = T.make_eval_step(model, loss, spec)
-        train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec)
-        eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec)
+        train_body = _partial(
+            T._train_step_body, model, tx, loss_fn, spec, assemble_fn=assemble_fn
+        )
+        eval_body = _partial(
+            T._eval_step_body, model, loss_fn, spec, assemble_fn=assemble_fn
+        )
+        train_step = T.make_train_step(model, tx, loss, spec, assemble_fn)
+        eval_step = T.make_eval_step(model, loss, spec, assemble_fn)
+        train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec, assemble_fn)
+        eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
         train_body=train_body,
         eval_body=eval_body,

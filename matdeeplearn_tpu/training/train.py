@@ -131,8 +131,9 @@ def init_state(model, tx, sample_batch, seed: int) -> TrainState:
 # ----------------------------------------------------------------- step fns
 
 
-def _train_step_body(model, tx, loss_fn, spec: BatchSpec, state, data, ids, rng):
-    batch = assemble_batch(data, ids, spec)
+def _train_step_body(model, tx, loss_fn, spec: BatchSpec, state, data, ids, rng,
+                     assemble_fn=None):
+    batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(data, ids)
 
     def compute(params):
         out, mut = model.apply(
@@ -161,12 +162,13 @@ def _train_step_body(model, tx, loss_fn, spec: BatchSpec, state, data, ids, rng)
     return new_state, loss, count
 
 
-def make_train_step(model, tx, loss_name: str, spec: BatchSpec):
+def make_train_step(model, tx, loss_name: str, spec: BatchSpec, assemble_fn=None):
     loss_fn = get_loss(loss_name)
 
     @jax.jit
     def train_step(state: TrainState, data: DeviceDataset, ids, rng):
-        return _train_step_body(model, tx, loss_fn, spec, state, data, ids, rng)
+        return _train_step_body(model, tx, loss_fn, spec, state, data, ids, rng,
+                                assemble_fn)
 
     return train_step
 
@@ -217,8 +219,9 @@ def scan_eval_epoch_fn(eval_body):
     return epoch_fn
 
 
-def _eval_step_body(model, loss_fn, spec: BatchSpec, state, data, ids):
-    batch = assemble_batch(data, ids, spec)
+def _eval_step_body(model, loss_fn, spec: BatchSpec, state, data, ids,
+                    assemble_fn=None):
+    batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(data, ids)
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch,
@@ -229,16 +232,18 @@ def _eval_step_body(model, loss_fn, spec: BatchSpec, state, data, ids):
     return loss, jnp.sum(batch.graph_mask), out
 
 
-def make_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec):
+def make_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec, assemble_fn=None):
     loss_fn = get_loss(loss_name)
     return scan_train_epoch_fn(
-        partial(_train_step_body, model, tx, loss_fn, spec)
+        partial(_train_step_body, model, tx, loss_fn, spec, assemble_fn=assemble_fn)
     )
 
 
-def make_eval_epoch_fn(model, loss_name: str, spec: BatchSpec):
+def make_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, assemble_fn=None):
     loss_fn = get_loss(loss_name)
-    return scan_eval_epoch_fn(partial(_eval_step_body, model, loss_fn, spec))
+    return scan_eval_epoch_fn(
+        partial(_eval_step_body, model, loss_fn, spec, assemble_fn=assemble_fn)
+    )
 
 
 def epoch_id_matrix(indices, batch_size: int, shuffle: bool, seed) -> np.ndarray:
@@ -254,12 +259,12 @@ def epoch_id_matrix(indices, batch_size: int, shuffle: bool, seed) -> np.ndarray
     return padded.reshape(steps, batch_size).astype(np.int32)
 
 
-def make_eval_step(model, loss_name: str, spec: BatchSpec):
+def make_eval_step(model, loss_name: str, spec: BatchSpec, assemble_fn=None):
     loss_fn = get_loss(loss_name)
 
     @jax.jit
     def eval_step(state: TrainState, data: DeviceDataset, ids):
-        batch = assemble_batch(data, ids, spec)
+        batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(data, ids)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,

@@ -127,3 +127,23 @@ def test_windowed_grads_match(toy_dataset, windowed):
     for a, b_ in zip(jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_w)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_train_regular_with_pallas_kernel(toy_dataset, tmp_path, monkeypatch):
+    """End-to-end training with kernel='pallas' (interpret mode on CPU)."""
+    monkeypatch.chdir(tmp_path)
+    from matdeeplearn_tpu.training import train_regular
+
+    errors = train_regular(
+        toy_dataset,
+        {"job_name": "w", "seed": 3, "save_model": "False",
+         "write_output": "False"},
+        {"loss": "l1_loss", "train_ratio": 0.7, "val_ratio": 0.15,
+         "test_ratio": 0.15, "verbosity": 0},
+        {"model": "CGCNN", "dim1": 10, "dim2": 10, "gc_count": 1,
+         "post_fc_count": 1, "epochs": 3, "lr": 0.01, "batch_size": 8,
+         "optimizer": "AdamW", "kernel": "pallas", "print_model": False,
+         "scheduler": "ReduceLROnPlateau",
+         "scheduler_args": {"factor": 0.8, "patience": 10}},
+    )
+    assert np.isfinite(errors["train"]) and np.isfinite(errors["test"])
