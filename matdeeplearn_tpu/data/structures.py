@@ -235,6 +235,55 @@ def read_ase_db(path: str) -> list[Structure]:
     return out
 
 
+def read_ase_db_with_keys(path: str) -> list[tuple[Structure, dict]]:
+    """Like read_ase_db but also returns each row's key-value pairs (the
+    ase.db property store, e.g. C2DB 'workfunction'). Used by the dataset
+    acquisition scripts (datasets/twod/get_c2db.py; reference:
+    data/2D_data/read_db.py selects rows by 'workfunction')."""
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT id, numbers, positions, cell, pbc, key_value_pairs "
+            "FROM systems ORDER BY id"
+        ).fetchall()
+    finally:
+        con.close()
+    out = []
+    for rid, numbers, positions, cell, pbc, kvp in rows:
+        num = np.frombuffer(numbers, dtype=np.int32)
+        pos = np.frombuffer(positions, dtype=np.float64).reshape(-1, 3)
+        cel = np.frombuffer(cell, dtype=np.float64).reshape(3, 3)
+        pbc_arr = np.array([bool(pbc & 1), bool(pbc & 2), bool(pbc & 4)])
+        keys = json.loads(kvp) if kvp else {}
+        out.append(
+            (Structure(num.astype(np.int64), pos, cel, pbc_arr, str(rid)), keys)
+        )
+    return out
+
+
+def write_ase_json(structure: Structure, path: str) -> None:
+    """Write a Structure as an ASE-json file readable by read_ase_json (and
+    by ase.io.read, so datasets we produce stay consumable by the reference
+    framework too)."""
+
+    def nd(arr, dtype):
+        a = np.asarray(arr, dtype)
+        return {"__ndarray__": [list(a.shape), str(a.dtype), a.ravel().tolist()]}
+
+    obj = {
+        "1": {
+            "numbers": nd(structure.numbers, np.int64),
+            "positions": nd(structure.positions, np.float64),
+            "cell": nd(structure.cell, np.float64),
+            "pbc": nd(structure.pbc, bool),
+        },
+        "ids": [1],
+        "nextid": 2,
+    }
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
 _READERS = {
     "json": read_ase_json,
     "xyz": read_xyz,
