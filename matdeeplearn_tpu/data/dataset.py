@@ -376,13 +376,32 @@ def get_dataset(
         raise FileNotFoundError(f"Data not found in: {data_path}")
     if str(reprocess) == "True" and os.path.exists(full):
         shutil.rmtree(full)
+    large = str(args.get("dataset_type", "inmemory")).lower() == "large"
+    if large:
+        # Disk-streaming mode (reference StructureDataset_large,
+        # process.py:157-189): serve from npz shards, never hold the
+        # node/edge arrays resident.
+        from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
+
+        shard_dir = os.path.join(full, "shards")
+        if os.path.exists(os.path.join(shard_dir, "shards_meta.json")):
+            return StreamingGraphDataset(shard_dir, target_index)
     if os.path.exists(os.path.join(full, "data.npz")):
         try:
-            return GraphDataset.load(full, target_index)
+            ds = GraphDataset.load(full, target_index)
         except Exception:
             shutil.rmtree(full)
-    ds = process_data(data_path, processed_path, args)
-    return ds.with_target_index(target_index)
+            ds = process_data(data_path, processed_path, args)
+    else:
+        ds = process_data(data_path, processed_path, args)
+    ds = ds.with_target_index(target_index)
+    if large:
+        from matdeeplearn_tpu.data.streaming import load_or_create_sharded
+
+        shard_dir = os.path.join(full, "shards")
+        gps = int(args.get("large_shard_graphs", 2048))
+        return load_or_create_sharded(ds, shard_dir, target_index, gps)
+    return ds
 
 
 # ------------------------------------------------------------------ splitting

@@ -56,6 +56,7 @@ class Run:
     scheduler_name: str = "ReduceLROnPlateau"
     scheduler_args: dict = field(default_factory=dict)
     fused_fns: dict = field(default_factory=dict)  # cache: avoids retracing
+    streaming: Any = None  # StreamingGraphDataset when host-fed (large mode)
 
 
 def setup_run(
@@ -84,8 +85,15 @@ def setup_run(
     # segment-sum, "xla" the scatter path; "auto" enables Pallas on TPU for
     # message-passing models once the per-batch edge count is large enough
     # for the scatter to dominate (see ops/pallas_segment.py).
+    from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
+
+    is_stream = isinstance(dataset, StreamingGraphDataset)
+    assert not (is_stream and mesh is not None), (
+        "dataset_type='large' streams batches from host; combine with "
+        "parallel='False' (SPMD needs the dataset in HBM)"
+    )
     kernel = str(model_parameters.get("kernel", "auto")).lower()
-    eligible = model_name not in ("SM", "SOAP") and mesh is None
+    eligible = model_name not in ("SM", "SOAP") and mesh is None and not is_stream
     edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
     use_windowed = eligible and (
         kernel == "pallas"
@@ -111,6 +119,12 @@ def setup_run(
         assemble_fn = lambda d, i: assemble_batch_windowed(
             d, d.windowed, i, spec, tw, te
         )
+    elif is_stream:
+        spec = BatchSpec.for_dataset(
+            dataset.node_counts(), dataset.edge_counts(), bs
+        )
+        data = None
+        assemble_fn = None
     else:
         spec = BatchSpec.for_dataset(
             dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
@@ -132,7 +146,9 @@ def setup_run(
         np.arange(min(bs, len(dataset)), dtype=np.int32)
     )
     sample_ids = jnp.pad(sample_ids, (0, bs - sample_ids.shape[0]), constant_values=-1)
-    if assemble_fn is not None:
+    if is_stream:
+        sample_batch = dataset.assemble(np.asarray(sample_ids), spec)
+    elif assemble_fn is not None:
         sample_batch = jax.jit(assemble_fn)(data, sample_ids)
     else:
         sample_batch = T.assemble_batch(data, sample_ids, spec)
@@ -169,6 +185,16 @@ def setup_run(
         eval_step = jax.jit(eval_body)
         train_epoch_fn = scan_train_epoch_fn(train_body)
         eval_epoch_fn = scan_eval_epoch_fn(eval_body)
+    elif is_stream:
+        from matdeeplearn_tpu.training.stream import (
+            make_batch_eval_step,
+            make_batch_train_step,
+        )
+
+        train_body = eval_body = None
+        train_step = make_batch_train_step(model, tx, loss)
+        eval_step = make_batch_eval_step(model, loss)
+        train_epoch_fn = eval_epoch_fn = None
     else:
         from functools import partial as _partial
 
@@ -201,6 +227,7 @@ def setup_run(
         model_name=model_name,
         model_config=cfg,
         global_batch=bs * dp,
+        streaming=dataset if is_stream else None,
     )
 
 
@@ -215,7 +242,40 @@ def run_fused_training(
     checkpoint_path: str | None = None,
 ):
     """Drive the fused (on-device scheduler) trainer for a Run. Returns
-    (best_state, last_state, final_plateau_state)."""
+    (best_state, last_state, final_plateau_state). Streaming runs (large
+    datasets) use the host-fed loop with identical semantics."""
+    if run.streaming is not None:
+        from matdeeplearn_tpu.training.stream import stream_trainer
+
+        last_saved = [float("inf")]
+
+        def stream_ckpt(best_state, best_val, scheduler):
+            if checkpoint_path is None or best_val >= last_saved[0]:
+                return
+            last_saved[0] = best_val
+            save_checkpoint(
+                checkpoint_path, best_state, scheduler,
+                run.model_name, run.model_config,
+            )
+
+        best, last, sched = stream_trainer(
+            train_step=run.train_step,
+            eval_step=run.eval_step,
+            sds=run.streaming,
+            spec=run.spec,
+            state=run.state,
+            scheduler=run.scheduler,
+            train_idx=train_idx,
+            val_idx=val_idx,
+            batch_size=run.global_batch,
+            epochs=epochs,
+            verbosity=verbosity,
+            rng_key=jax.random.PRNGKey(seed),
+            checkpoint_fn=stream_ckpt if checkpoint_path else None,
+            shuffle_seed_base=seed,
+        )
+        return best, last, sched
+
     from matdeeplearn_tpu.training.fused import fused_trainer
 
     sa = run.scheduler_args
@@ -281,9 +341,17 @@ def run_fused_training(
 
 
 def _final_outputs(run: Run, dataset, idx, batch_size):
-    loss, preds, targs = T.evaluate_scan(
-        run.eval_epoch_fn, run.state, run.data, idx, batch_size, out=True
-    )
+    if run.streaming is not None:
+        from matdeeplearn_tpu.training.stream import stream_evaluate
+
+        loss, preds, targs = stream_evaluate(
+            run.eval_step, run.streaming, run.spec, run.state, idx,
+            batch_size, out=True,
+        )
+    else:
+        loss, preds, targs = T.evaluate_scan(
+            run.eval_epoch_fn, run.state, run.data, idx, batch_size, out=True
+        )
     ids = [dataset.structure_ids[i] for i in idx]
     return loss, ids, targs, preds
 
@@ -388,16 +456,31 @@ def predict(dataset: D.GraphDataset, loss: str, job_parameters: dict) -> float:
     spec = BatchSpec.for_dataset(
         dataset.node_counts(), dataset.edge_counts(), batch_size
     )
-    data = DeviceDataset.from_graph_dataset(dataset)
     state = T.TrainState(
         params=params, batch_stats=batch_stats, opt_state=None,
         step=jnp.zeros((), jnp.int32),
     )
-    eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec)
-
-    t0 = time.time()
     idx = np.arange(len(dataset))
-    err, preds, targs = T.evaluate_scan(eval_epoch_fn, state, data, idx, batch_size, out=True)
+    from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
+
+    if isinstance(dataset, StreamingGraphDataset):
+        from matdeeplearn_tpu.training.stream import (
+            make_batch_eval_step,
+            stream_evaluate,
+        )
+
+        eval_step = make_batch_eval_step(model, loss)
+        t0 = time.time()
+        err, preds, targs = stream_evaluate(
+            eval_step, dataset, spec, state, idx, batch_size, out=True
+        )
+    else:
+        data = DeviceDataset.from_graph_dataset(dataset)
+        eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec)
+        t0 = time.time()
+        err, preds, targs = T.evaluate_scan(
+            eval_epoch_fn, state, data, idx, batch_size, out=True
+        )
     elapsed = time.time() - t0
     print("Evaluation time (s): {:.5f}".format(elapsed))
 
@@ -594,11 +677,13 @@ def analysis(
     spec = BatchSpec.for_dataset(
         dataset.node_counts(), dataset.edge_counts(), batch_size
     )
-    data = DeviceDataset.from_graph_dataset(dataset)
+    from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
+
+    is_stream = isinstance(dataset, StreamingGraphDataset)
+    data = None if is_stream else DeviceDataset.from_graph_dataset(dataset)
 
     @jax.jit
-    def embed_step(ids):
-        batch = assemble_batch(data, ids, spec)
+    def embed_batch(batch):
         _, mods = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch, training=False, mutable=["intermediates"],
@@ -607,6 +692,11 @@ def analysis(
             mods["intermediates"]
         )
         return embs[0]
+
+    def embed_step(ids):
+        if is_stream:
+            return embed_batch(dataset.assemble(np.asarray(ids), spec))
+        return embed_batch(assemble_batch(data, ids, spec))
 
     all_emb = []
     from matdeeplearn_tpu.data.batching import batch_iterator

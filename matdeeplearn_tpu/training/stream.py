@@ -1,0 +1,174 @@
+"""Host-fed training loop for disk-streaming datasets.
+
+Companion of data/streaming.py: the dataset never enters HBM; each step
+receives one host-assembled GraphBatch pytree. Steps are jitted with
+donated state so parameters/optimizer never round-trip; batch H2D
+transfers overlap the previous step thanks to JAX async dispatch (the
+host assembles batch k+1 while the device runs step k).
+
+Semantics mirror the fused in-HBM trainer (training/fused.py and the
+reference trainer(), training/training.py:96-207): sample-weighted epoch
+error, best-val parameter tracking on device, ReduceLROnPlateau stepped
+on the *train* error, improvement-gated checkpoints.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matdeeplearn_tpu.data.batching import batch_iterator
+from matdeeplearn_tpu.training import train as T
+from matdeeplearn_tpu.training.optimizers import (
+    get_learning_rate,
+    set_learning_rate,
+)
+
+
+def make_batch_train_step(model, tx, loss_name: str):
+    """Jitted step over a GraphBatch input (no dataset residency)."""
+    loss_fn = T.get_loss(loss_name)
+
+    @jax.jit
+    def step(state: T.TrainState, batch, rng):
+        def compute(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, training=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            y = batch.y if out.ndim > 1 else batch.y[:, 0]
+            loss = loss_fn(out, y, batch.graph_mask)
+            return loss, mut.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss, jnp.sum(batch.graph_mask)
+
+    return step
+
+
+def make_batch_eval_step(model, loss_name: str):
+    loss_fn = T.get_loss(loss_name)
+
+    @jax.jit
+    def step(state: T.TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, training=False,
+        )
+        y = batch.y if out.ndim > 1 else batch.y[:, 0]
+        return loss_fn(out, y, batch.graph_mask), jnp.sum(batch.graph_mask), out
+
+    return step
+
+
+def _epoch_ids(indices: np.ndarray, batch_size: int, shuffle: bool, seed):
+    n = len(indices)
+    indices = np.asarray(indices)
+    for local in batch_iterator(n, batch_size, shuffle=shuffle, seed=seed):
+        yield np.where(local >= 0, indices[np.clip(local, 0, n - 1)], -1)
+
+
+def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
+                       rng_key, shuffle_seed):
+    loss_sum, count_sum = 0.0, 0.0
+    pending = []  # device scalars; resolved once at epoch end
+    for ids in _epoch_ids(indices, batch_size, shuffle=True, seed=shuffle_seed):
+        batch = sds.assemble(ids, spec)
+        rng_key, sub = jax.random.split(rng_key)
+        state, loss, count = train_step(state, batch, sub)
+        pending.append((loss, count))
+    for loss, count in pending:
+        c = float(count)
+        loss_sum += float(loss) * c
+        count_sum += c
+    return state, loss_sum / max(count_sum, 1.0), rng_key
+
+
+def stream_evaluate(eval_step, sds, spec, state, indices, batch_size,
+                    out: bool = False):
+    loss_sum, count_sum = 0.0, 0.0
+    preds = []
+    for ids in _epoch_ids(indices, batch_size, shuffle=False, seed=None):
+        batch = sds.assemble(ids, spec)
+        loss, count, pred = eval_step(state, batch)
+        c = float(count)
+        loss_sum += float(loss) * c
+        count_sum += c
+        if out:
+            preds.append(np.asarray(pred)[: int((ids >= 0).sum())])
+    err = loss_sum / max(count_sum, 1.0)
+    if not out:
+        return err
+    preds = np.concatenate(preds) if preds else np.zeros(0)
+    targs = sds.targets[np.asarray(indices)]
+    return err, preds, targs
+
+
+def stream_trainer(
+    *,
+    train_step,
+    eval_step,
+    sds,
+    spec,
+    state: T.TrainState,
+    scheduler,
+    train_idx,
+    val_idx,
+    batch_size: int,
+    epochs: int,
+    verbosity: int,
+    rng_key,
+    checkpoint_fn=None,
+    shuffle_seed_base: int = 0,
+):
+    """Returns (best_state, last_state, scheduler). checkpoint_fn(best_state,
+    best_val, scheduler) is called on every best-val improvement."""
+    best_val = float("inf")
+    best_params, best_stats = state.params, state.batch_stats
+    has_val = len(val_idx) > 0
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        state, train_err, rng_key = stream_train_epoch(
+            train_step, sds, spec, state, train_idx, batch_size,
+            rng_key, shuffle_seed_base + epoch,
+        )
+        val_err = (
+            stream_evaluate(eval_step, sds, spec, state, val_idx, batch_size)
+            if has_val else float("nan")
+        )
+        metric = val_err if has_val else train_err
+        if metric < best_val:
+            best_val = metric
+            best_params, best_stats = state.params, state.batch_stats
+            if checkpoint_fn is not None:
+                checkpoint_fn(
+                    state.replace(params=best_params, batch_stats=best_stats),
+                    best_val, scheduler,
+                )
+        # Reference quirk preserved: plateau scheduler steps on TRAIN error
+        # (training/training.py:193).
+        lr = scheduler.step(train_err)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        if verbosity and epoch % verbosity == 0:
+            print(
+                "Epoch: {:04d}, Learning Rate: {:.6f}, Training Error: {:.5f}, "
+                "Val Error: {:.5f}, Time per epoch (s): {:.5f}".format(
+                    epoch, get_learning_rate(state.opt_state), train_err,
+                    val_err, time.time() - t0,
+                ),
+                flush=True,
+            )
+    best_state = state.replace(params=best_params, batch_stats=best_stats)
+    return best_state, state, scheduler

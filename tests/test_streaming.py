@@ -1,0 +1,126 @@
+"""Streaming (dataset_type='large') path: shard round-trip, batch-assembly
+parity with the in-HBM assembler, and end-to-end jobs."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matdeeplearn_tpu.data import BatchSpec, DeviceDataset, assemble_batch
+from matdeeplearn_tpu.data.streaming import (
+    StreamingGraphDataset,
+    save_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def sharded(toy_dataset, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards"))
+    save_sharded(toy_dataset, path, graphs_per_shard=5)  # multiple shards
+    return StreamingGraphDataset(path, target_index=0, cache_shards=2)
+
+
+def test_metadata_surface(toy_dataset, sharded):
+    assert len(sharded) == len(toy_dataset)
+    assert sharded.num_features == toy_dataset.num_features
+    assert sharded.output_dim == toy_dataset.output_dim
+    np.testing.assert_array_equal(sharded.node_counts(), toy_dataset.node_counts())
+    np.testing.assert_array_equal(sharded.edge_counts(), toy_dataset.edge_counts())
+    np.testing.assert_allclose(sharded.targets, toy_dataset.targets)
+    assert sharded.structure_ids == toy_dataset.structure_ids
+
+
+def test_graph_arrays_cross_shard(toy_dataset, sharded):
+    # graph 7 lives in shard 1 (graphs_per_shard=5)
+    for gid in (0, 4, 5, 7, len(toy_dataset) - 1):
+        gx, gz, gsrc, gdst, gw, gd = sharded.graph_arrays(gid)
+        n0, n1 = toy_dataset.node_ptr[gid], toy_dataset.node_ptr[gid + 1]
+        e0, e1 = toy_dataset.edge_ptr[gid], toy_dataset.edge_ptr[gid + 1]
+        np.testing.assert_array_equal(gx, toy_dataset.node_x[n0:n1])
+        np.testing.assert_array_equal(gsrc, toy_dataset.edge_src[e0:e1])
+        np.testing.assert_allclose(gw, toy_dataset.edge_weight[e0:e1])
+        np.testing.assert_allclose(gd, toy_dataset.edge_dist_norm[e0:e1])
+    assert len(sharded._lru) <= 2  # LRU bound respected
+
+
+def test_assembly_parity_with_device_path(toy_dataset, sharded):
+    spec = BatchSpec.for_dataset(
+        toy_dataset.node_counts(), toy_dataset.edge_counts(), 6
+    )
+    data = DeviceDataset.from_graph_dataset(toy_dataset)
+    for ids in ([3, 9, 0, 11, 6, 1], [2, 5, -1, -1, -1, -1]):
+        ids = np.asarray(ids, np.int32)
+        bh = sharded.assemble(ids, spec)
+        bd = assemble_batch(data, jnp.asarray(ids), spec)
+        for name in ("x", "edge_src", "edge_dst", "edge_weight",
+                     "edge_dist_norm", "node_graph", "node_mask",
+                     "edge_mask", "graph_mask", "y", "u", "n_node"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(bh, name)), np.asarray(getattr(bd, name)),
+                atol=0, err_msg=name,
+            )
+
+
+def test_train_regular_streaming(toy_dataset, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from matdeeplearn_tpu.data.streaming import load_or_create_sharded
+    from matdeeplearn_tpu.training import predict, train_regular
+
+    sds = load_or_create_sharded(toy_dataset, str(tmp_path / "sh"), 0, 4)
+    errors = train_regular(
+        sds,
+        {"job_name": "st", "seed": 11, "save_model": "True",
+         "model_path": str(tmp_path / "st.ckpt"), "write_output": "True"},
+        {"loss": "l1_loss", "train_ratio": 0.7, "val_ratio": 0.15,
+         "test_ratio": 0.15, "verbosity": 2},
+        {"model": "CGCNN", "dim1": 10, "dim2": 10, "gc_count": 1,
+         "post_fc_count": 1, "epochs": 4, "lr": 0.01, "batch_size": 5,
+         "optimizer": "AdamW", "print_model": False,
+         "scheduler": "ReduceLROnPlateau",
+         "scheduler_args": {"factor": 0.8, "patience": 10}},
+    )
+    assert np.isfinite(errors["train"]) and np.isfinite(errors["test"])
+    assert os.path.exists(tmp_path / "st.ckpt")
+    assert os.path.exists(tmp_path / "st_test_outputs.csv")
+
+    err = predict(sds, "l1_loss", {
+        "job_name": "stp", "model_path": str(tmp_path / "st.ckpt"),
+        "write_output": "True",
+    })
+    assert np.isfinite(err)
+    assert os.path.exists(tmp_path / "stp_predicted_outputs.csv")
+
+
+def test_get_dataset_large_mode(toy_dataset, tmp_path, monkeypatch):
+    """dataset_type='large' returns a StreamingGraphDataset from get_dataset,
+    creating the shard cache next to the processed cache."""
+    import json
+
+    from matdeeplearn_tpu.data import get_dataset
+    from matdeeplearn_tpu.data.structures import Structure, write_ase_json
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "raw"
+    d.mkdir()
+    rows = []
+    for i in range(10):
+        na = int(rng.integers(4, 7))
+        s = Structure(rng.integers(1, 20, na), rng.random((na, 3)) * 5,
+                      np.eye(3) * 6, np.ones(3, bool), str(i))
+        write_ase_json(s, str(d / f"{i}.json"))
+        rows.append(f"{i},{rng.normal():.4f}")
+    (d / "targets.csv").write_text("\n".join(rows) + "\n")
+
+    ds = get_dataset(str(d), target_index=0,
+                     processing_args={"dataset_type": "large",
+                                      "large_shard_graphs": 4,
+                                      "verbose": "False"})
+    assert isinstance(ds, StreamingGraphDataset)
+    assert len(ds) == 10
+    # second call serves straight from the shard cache
+    ds2 = get_dataset(str(d), target_index=0,
+                      processing_args={"dataset_type": "large",
+                                       "verbose": "False"})
+    assert isinstance(ds2, StreamingGraphDataset)
+    np.testing.assert_allclose(ds2.targets, ds.targets)
