@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--parallel", default=None, type=str,
                         help="Use multi-chip SPMD if more than one device is visible")
     parser.add_argument("--reprocess", default=None, type=str)
+    parser.add_argument("--profile", default=None, type=str,
+                        help="True = write a jax.profiler trace for the run")
     # Processing arguments
     parser.add_argument("--data_path", default=None, type=str)
     parser.add_argument("--format", default=None, type=str)
@@ -71,7 +73,8 @@ def load_config(args) -> dict:
     config["Job"]["run_mode"] = run_mode
 
     for key in ("job_name", "model", "seed", "model_path", "load_model",
-                "save_model", "write_output", "parallel", "reprocess"):
+                "save_model", "write_output", "parallel", "reprocess",
+                "profile"):
         v = getattr(args, key, None)
         if v is not None:
             config["Job"][key] = v
@@ -115,11 +118,13 @@ def main(argv=None):
 
     import jax
 
+    from matdeeplearn_tpu.parallel import make_mesh, maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     devices = jax.devices()
     print("Devices available:", devices)
 
     from matdeeplearn_tpu.data import get_dataset
-    from matdeeplearn_tpu.parallel import make_mesh
     from matdeeplearn_tpu.training import (
         analysis,
         predict,

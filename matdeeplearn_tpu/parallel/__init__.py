@@ -1,6 +1,7 @@
 from matdeeplearn_tpu.parallel.mesh import (  # noqa: F401
     dp_sharding,
     make_mesh,
+    maybe_initialize_distributed,
     replicated,
 )
 from matdeeplearn_tpu.parallel.spmd import (  # noqa: F401

@@ -22,6 +22,44 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(verbose: bool = True) -> bool:
+    """Initialize jax.distributed for multi-host (DCN) runs.
+
+    The reference is hard-wired single-host (MASTER_ADDR=localhost,
+    training/training.py:230-231). Here multi-host needs only the standard
+    JAX coordination environment (set by TPU pod launchers, or
+    JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID/JAX_NUM_PROCESSES manually);
+    after initialize(), jax.devices() spans hosts and make_mesh lays dp
+    across the DCN axis with no further changes. No-op (returns False)
+    when no coordination env is present, so single-host runs never pay for
+    a rendezvous."""
+    import os
+
+    env = os.environ
+    present = any(
+        k in env
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if not present:
+        return False
+    try:
+        jax.distributed.initialize()
+        if verbose:
+            print(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+        return True
+    except Exception as e:  # rendezvous failure: fall back to single host
+        if verbose:
+            print(f"jax.distributed.initialize failed ({e}); single-host run")
+        return False
+
+
 def make_mesh(dp: int | None = None, ep: int = 1, devices=None) -> Mesh:
     """Build a (dp, ep) mesh. dp=None uses all remaining devices."""
     devices = list(devices if devices is not None else jax.devices())

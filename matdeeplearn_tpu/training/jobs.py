@@ -391,19 +391,28 @@ def train_regular(
         run.state = state
 
     temp_path = job_parameters.get("temp_checkpoint_path", "my_model_temp.ckpt")
-    best_state, last_state, final_sched = run_fused_training(
-        run,
-        train_idx=train_idx,
-        val_idx=val_idx,
-        epochs=int(model_parameters.get("epochs", 250)),
-        verbosity=int(training_parameters.get("verbosity", 5)),
-        seed=seed,
-        checkpoint_path=(
-            temp_path
-            if str(job_parameters.get("save_model", "True")) == "True"
-            else None
-        ),
-    )
+    from matdeeplearn_tpu.utils.profiling import meter_for_training, trace
+
+    meter = meter_for_training(dataset, train_idx, mesh).start()
+    with trace(
+        job_parameters.get("profile_dir", f"{job_name}_profile"),
+        enabled=str(job_parameters.get("profile")) == "True",
+    ):
+        best_state, last_state, final_sched = run_fused_training(
+            run,
+            train_idx=train_idx,
+            val_idx=val_idx,
+            epochs=int(model_parameters.get("epochs", 250)),
+            verbosity=int(training_parameters.get("verbosity", 5)),
+            seed=seed,
+            checkpoint_path=(
+                temp_path
+                if str(job_parameters.get("save_model", "True")) == "True"
+                else None
+            ),
+        )
+    meter.tick(int(model_parameters.get("epochs", 250)))
+    print(meter.report())
     run.scheduler.lr = float(final_sched.lr)
     run.state = best_state
 
