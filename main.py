@@ -20,6 +20,18 @@ import time
 import numpy as np
 import yaml
 
+# Honor an explicit JAX_PLATFORMS before any backend initialization. Some
+# environments install a sitecustomize that force-selects a TPU platform
+# regardless of the env var; pinning via jax.config restores the documented
+# behavior (e.g. JAX_PLATFORMS=cpu for host-only runs).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="MatDeepLearn-TPU inputs")

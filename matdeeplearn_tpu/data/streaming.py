@@ -1,0 +1,242 @@
+"""Disk-streaming datasets: npz shards served through an LRU shard cache.
+
+TPU-native counterpart of the reference's StructureDataset_large
+(process/process.py:157-189, dataset_type "large", config.yml:80): datasets
+too big for HBM (or host RAM) are cut into npz shards of `graphs_per_shard`
+graphs; only graph-level metadata (targets, counts, ids) stays resident.
+Batches are assembled on the host with semantics identical to the on-device
+assembler (data/batching.py:assemble_batch — parity-tested in
+tests/test_streaming.py) and shipped to the device as one static-shape
+pytree per step; JAX async dispatch overlaps the H2D copy and the host
+assembly of batch k+1 with device step k (training/stream.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import jax.numpy as jnp
+import numpy as np
+
+from matdeeplearn_tpu.data.batching import BatchSpec, GraphBatch
+
+META_JSON = "shards_meta.json"
+META_NPZ = "shards_meta.npz"
+
+_NODE_KEYS = ("node_x", "node_z")
+_EDGE_KEYS = ("edge_src", "edge_dst", "edge_weight", "edge_dist_norm")
+
+
+def save_sharded(ds, path: str, graphs_per_shard: int = 2048) -> None:
+    """Write a GraphDataset as npz shards + metadata under `path`."""
+    os.makedirs(path, exist_ok=True)
+    g = ds.num_graphs
+    gps = int(graphs_per_shard)
+    n_shards = max(1, -(-g // gps))
+    node_ptr = np.asarray(ds.node_ptr, np.int64)
+    edge_ptr = np.asarray(ds.edge_ptr, np.int64)
+    for si in range(n_shards):
+        g0, g1 = si * gps, min((si + 1) * gps, g)
+        n0, n1 = node_ptr[g0], node_ptr[g1]
+        e0, e1 = edge_ptr[g0], edge_ptr[g1]
+        np.savez_compressed(
+            os.path.join(path, f"shard_{si}.npz"),
+            node_x=ds.node_x[n0:n1],
+            node_z=ds.node_z[n0:n1],
+            edge_src=ds.edge_src[e0:e1],
+            edge_dst=ds.edge_dst[e0:e1],
+            edge_weight=ds.edge_weight[e0:e1],
+            edge_dist_norm=ds.edge_dist_norm[e0:e1],
+            node_ptr=(node_ptr[g0 : g1 + 1] - n0),
+            edge_ptr=(edge_ptr[g0 : g1 + 1] - e0),
+        )
+    arrays = {
+        "y": np.asarray(ds.y, np.float32),
+        "u": np.asarray(ds.u, np.float32),
+        "node_counts": np.asarray(ds.node_counts(), np.int64),
+        "edge_counts": np.asarray(ds.edge_counts(), np.int64),
+    }
+    for k, v in ds.extra_features.items():
+        arrays[f"extra_{k}"] = np.asarray(v, np.float32)
+    np.savez_compressed(os.path.join(path, META_NPZ), **arrays)
+    meta = {
+        "num_graphs": int(g),
+        "graphs_per_shard": gps,
+        "num_shards": int(n_shards),
+        "num_features": int(ds.node_x.shape[1]),
+        "edge_resolution": int(ds.edge_resolution),
+        "edge_width": float(ds.edge_width),
+        "structure_ids": list(ds.structure_ids),
+        "species": list(getattr(ds, "species", [])),
+    }
+    with open(os.path.join(path, META_JSON), "w") as f:
+        json.dump(meta, f)
+
+
+def load_or_create_sharded(ds, shard_dir: str, target_index: int = 0,
+                           graphs_per_shard: int = 2048):
+    """Serve `ds` through the streaming interface, building the shard cache
+    next to the processed cache on first use (dataset.py get_dataset)."""
+    if not os.path.exists(os.path.join(shard_dir, META_JSON)):
+        save_sharded(ds, shard_dir, graphs_per_shard)
+    return StreamingGraphDataset(shard_dir, target_index)
+
+
+class StreamingGraphDataset:
+    """Shard-backed dataset with the GraphDataset metadata surface.
+
+    Only graph-level arrays are resident; node/edge arrays are loaded per
+    shard through a bounded LRU (`cache_shards` shards at a time).
+    """
+
+    def __init__(self, path: str, target_index: int = 0, cache_shards: int = 8):
+        self.path = path
+        self.target_index = int(target_index)
+        self.cache_shards = max(1, int(cache_shards))
+        with open(os.path.join(path, META_JSON)) as f:
+            meta = json.load(f)
+        self._meta = meta
+        self.graphs_per_shard = int(meta["graphs_per_shard"])
+        self.num_features = int(meta["num_features"])
+        self.edge_resolution = int(meta["edge_resolution"])
+        self.edge_width = float(meta["edge_width"])
+        self.structure_ids = list(meta["structure_ids"])
+        self.species = list(meta.get("species", []))
+        z = np.load(os.path.join(path, META_NPZ))
+        self.y = z["y"]
+        self.u = z["u"]
+        self._node_counts = z["node_counts"]
+        self._edge_counts = z["edge_counts"]
+        self.extra_features = {
+            k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")
+        }
+        self._lru: OrderedDict[int, dict] = OrderedDict()
+
+    # --------------------------------------------------- metadata surface
+
+    def __len__(self) -> int:
+        return int(self._meta["num_graphs"])
+
+    @property
+    def num_graphs(self) -> int:
+        return len(self)
+
+    @property
+    def num_edge_features(self) -> int:
+        return self.edge_resolution
+
+    @property
+    def output_dim(self) -> int:
+        return self.y.shape[1] if self.target_index == -1 else 1
+
+    @property
+    def targets(self) -> np.ndarray:
+        if self.target_index == -1:
+            return self.y
+        return self.y[:, self.target_index]
+
+    def node_counts(self) -> np.ndarray:
+        return self._node_counts
+
+    def edge_counts(self) -> np.ndarray:
+        return self._edge_counts
+
+    def with_target_index(self, index: int) -> "StreamingGraphDataset":
+        out = StreamingGraphDataset(self.path, index, self.cache_shards)
+        return out
+
+    # ------------------------------------------------------ shard access
+
+    def _shard(self, si: int) -> dict:
+        if si in self._lru:
+            self._lru.move_to_end(si)
+            return self._lru[si]
+        z = np.load(os.path.join(self.path, f"shard_{si}.npz"))
+        shard = {k: z[k] for k in z.files}
+        self._lru[si] = shard
+        while len(self._lru) > self.cache_shards:
+            self._lru.popitem(last=False)
+        return shard
+
+    def graph_arrays(self, gid: int):
+        """(node_x, node_z, edge_src, edge_dst, edge_weight, edge_dist_norm)
+        for one graph (graph-local edge indices)."""
+        si, local = divmod(int(gid), self.graphs_per_shard)
+        sh = self._shard(si)
+        n0, n1 = sh["node_ptr"][local], sh["node_ptr"][local + 1]
+        e0, e1 = sh["edge_ptr"][local], sh["edge_ptr"][local + 1]
+        return (
+            sh["node_x"][n0:n1],
+            sh["node_z"][n0:n1],
+            sh["edge_src"][e0:e1],
+            sh["edge_dst"][e0:e1],
+            sh["edge_weight"][e0:e1],
+            sh["edge_dist_norm"][e0:e1],
+        )
+
+    # -------------------------------------------------------- assembly
+
+    def assemble(self, graph_ids: np.ndarray, spec: BatchSpec) -> GraphBatch:
+        """Host-side batch assembly with semantics identical to
+        batching.assemble_batch (parity-tested): -1 ids are pad slots, pad
+        nodes live in the dummy segment B, pad edges are clipped to slot 0.
+        """
+        B, N, E = spec.num_graphs, spec.num_nodes, spec.num_edges
+        ids = np.asarray(graph_ids, np.int64)
+        gmask = ids >= 0
+        ids_safe = np.where(gmask, ids, 0)
+
+        x = np.zeros((N, self.num_features), np.float32)
+        esrc = np.zeros(E, np.int32)
+        edst = np.zeros(E, np.int32)
+        ew = np.zeros(E, np.float32)
+        ed = np.zeros(E, np.float32)
+        node_graph = np.full(N, B, np.int32)
+        node_mask = np.zeros(N, np.float32)
+        edge_mask = np.zeros(E, np.float32)
+        ncounts = np.zeros(B, np.int32)
+
+        noff = 0
+        eoff = 0
+        for slot, gid in enumerate(ids):
+            if gid < 0:
+                continue
+            gx, _, gsrc, gdst, gw, gd = self.graph_arrays(int(gid))
+            n, e = len(gx), len(gsrc)
+            x[noff : noff + n] = gx
+            node_graph[noff : noff + n] = slot
+            node_mask[noff : noff + n] = 1.0
+            esrc[eoff : eoff + e] = gsrc + noff
+            edst[eoff : eoff + e] = gdst + noff
+            ew[eoff : eoff + e] = gw
+            ed[eoff : eoff + e] = gd
+            edge_mask[eoff : eoff + e] = 1.0
+            ncounts[slot] = n
+            noff += n
+            eoff += e
+
+        y2d = self.targets
+        if y2d.ndim == 1:
+            y2d = y2d[:, None]
+        y = y2d[ids_safe] * gmask[:, None].astype(y2d.dtype)
+        extra = None
+        if len(self.extra_features) == 1:
+            extra = next(iter(self.extra_features.values()))[ids_safe]
+
+        return GraphBatch(
+            x=jnp.asarray(x),
+            edge_src=jnp.asarray(esrc),
+            edge_dst=jnp.asarray(edst),
+            edge_weight=jnp.asarray(ew),
+            edge_dist_norm=jnp.asarray(ed),
+            node_graph=jnp.asarray(node_graph),
+            node_mask=jnp.asarray(node_mask),
+            edge_mask=jnp.asarray(edge_mask),
+            graph_mask=jnp.asarray(gmask.astype(np.float32)),
+            y=jnp.asarray(y.astype(np.float32)),
+            u=jnp.asarray(self.u[ids_safe]),
+            n_node=jnp.asarray(ncounts),
+            extra=None if extra is None else jnp.asarray(extra),
+        )
