@@ -128,9 +128,11 @@ def make_fused_epochs_fn(
                     vstep, (jnp.zeros(()), jnp.zeros(())), val_ids
                 )
                 val_error = vlsum / jnp.maximum(vcsum, 1.0)
-                improved = jnp.logical_or(
-                    jnp.isnan(val_error), val_error < c.best_val
-                )
+                # NaN never improves: a diverged model must not become the
+                # best checkpoint (reference training.py:145 — its NaN check
+                # is always-False, so NaN never replaces the best model there
+                # either; `NaN < best` is False under IEEE).
+                improved = val_error < c.best_val
             else:
                 val_error = jnp.asarray(jnp.nan)
                 improved = jnp.asarray(True)

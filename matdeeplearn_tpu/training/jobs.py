@@ -637,11 +637,11 @@ def train_ensemble(
             rows = list(csv.reader(f))[1:]
         outputs.append(rows)
         if write_output in ("Partial", "False"):
+            # Reference removes per-model outputs under Partial/False after
+            # reading them into memory (training.py:1190-1196).
             for split in ("train", "val", "test"):
                 p = f"{jp['job_name']}_{split}_outputs.csv"
-                if os.path.exists(p) and not (
-                    split == "test" and write_output == "Partial" and False
-                ):
+                if os.path.exists(p):
                     os.remove(p)
             if str(job_parameters.get("save_model", "False")) != "True":
                 for p in (jp["model_path"],):
@@ -649,21 +649,39 @@ def train_ensemble(
                         os.remove(p)
 
     ids = [r[0] for r in outputs[0]]
-    targets = np.array([[float(v) for v in r[1:-1]] for r in outputs[0]])
+    # Rows are [id, target×n, prediction×n] (write_results header); average
+    # all n prediction columns so multi-target ensembles are correct
+    # (the reference's column-2 indexing is single-output only,
+    # training.py:1146-1156).
+    n_out = (len(outputs[0][0]) - 1) // 2
+    targets = np.array([[float(v) for v in r[1 : 1 + n_out]] for r in outputs[0]])
     preds = np.stack(
-        [np.array([[float(r[-1])] for r in rows]) for rows in outputs]
-    )
+        [np.array([[float(v) for v in r[1 + n_out :]] for r in rows])
+         for rows in outputs]
+    )  # (n_models, n_samples, n_out)
     ens_pred = preds.mean(axis=0)
 
     for mname, err in zip(ensemble_list, errors):
         print("Test Error, {}: {:.5f}".format(mname, err))
     loss_fn = T.get_loss(loss_name)
     mask = jnp.ones(len(ids))
-    ens_err = float(
-        loss_fn(jnp.asarray(ens_pred.ravel()), jnp.asarray(targets.ravel()), mask)
-    )
+    ens_err = float(loss_fn(jnp.asarray(ens_pred), jnp.asarray(targets), mask))
     print("Test Error, Ensemble: {:.5f}".format(ens_err))
-    write_results(ids, targets, ens_pred, f"{job_name}_test_ensemble_outputs.csv")
+    # Reference CSV: ids, target, one prediction column per member, ensemble
+    # (training.py:1174-1189); multi-output generalizes each to n columns.
+    with open(f"{job_name}_test_ensemble_outputs.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        tcols = ["target"] if n_out == 1 else [f"target_{j}" for j in range(n_out)]
+        mcols = []
+        for mname in ensemble_list:
+            mcols += [mname] if n_out == 1 else [f"{mname}_{j}" for j in range(n_out)]
+        ecols = ["ensemble"] if n_out == 1 else [f"ensemble_{j}" for j in range(n_out)]
+        w.writerow(["ids"] + tcols + mcols + ecols)
+        for i, sid in enumerate(ids):
+            w.writerow(
+                [sid] + list(targets[i]) + [p for m in preds for p in m[i]]
+                + list(ens_pred[i])
+            )
     return ens_err
 
 

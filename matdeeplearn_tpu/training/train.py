@@ -380,11 +380,14 @@ def trainer(
         )
         if len(val_idx) > 0:
             val_error = evaluate_scan(eval_epoch_fn, state, data, val_idx, batch_size)
-            if not np.isfinite(val_error) or val_error < best_val_error:
+            # NaN/inf never improves — a diverged model must not become the
+            # best checkpoint (NaN < best is False; reference training.py:145
+            # has the same net effect, its NaN check being always-False).
+            if val_error < best_val_error:
+                best_val_error = val_error
                 best_state = state
                 if checkpoint_fn is not None:
                     checkpoint_fn(state, scheduler)
-            best_val_error = min(val_error, best_val_error)
         else:
             best_state = state
             if checkpoint_fn is not None:

@@ -46,18 +46,17 @@ def test_spmd_matches_single_device_loss(toy_dataset, eight_devices):
     new_state, loss, count = step(state, data, jnp.asarray(ids), jax.random.PRNGKey(0))
     assert float(count) == 8
 
-    # Single-device reference: same 8 graphs in one batch → same mean loss.
-    spec1 = BatchSpec.for_dataset(ds.node_counts(), ds.edge_counts(), 8)
-    estep = T.make_eval_step(model, "l1_loss", spec1)
-    # evaluate with pre-update params for comparison vs the spmd loss
-    ref_loss, ref_count, _ = estep(state, data, jnp.arange(8, dtype=jnp.int32))
-    # spmd loss is computed in train mode (batch-stats BN) vs eval mode here;
-    # compare against a train-mode single batch instead:
-    tstep = T.make_train_step(model, tx, "l1_loss", spec1)
-    _, ref_train_loss, _ = tstep(state, data, jnp.arange(8, dtype=jnp.int32),
-                                 jax.random.PRNGKey(0))
-    # BN statistics differ (per-replica vs global batch) so allow tolerance.
-    assert abs(float(loss) - float(ref_train_loss)) < 0.5
+    # Exact reference: SPMD runs BN per-replica (spmd.py vmap over dp), so
+    # the expected loss is the count-weighted mean of 4 independent
+    # single-device train-mode batches of 2 with identical params.
+    tstep = T.make_train_step(model, tx, "l1_loss", spec)
+    total, csum = 0.0, 0.0
+    for r in range(4):
+        pair = jnp.asarray(ids[2 * r : 2 * r + 2])
+        _, lr_loss, lr_count = tstep(state, data, pair, jax.random.PRNGKey(0))
+        total += float(lr_loss) * float(lr_count)
+        csum += float(lr_count)
+    assert abs(float(loss) - total / csum) < 1e-5
 
 
 def test_spmd_grads_equal_manual_average(toy_dataset, eight_devices):
