@@ -130,6 +130,18 @@ def main(argv=None):
 
     import jax
 
+    # Persistent XLA compilation cache: whole-epoch scanned programs are
+    # expensive to compile (minutes behind the TPU tunnel); cache them on
+    # disk so reruns with the same shapes start in seconds. Override the
+    # location with MDL_COMPILE_CACHE, or disable with MDL_COMPILE_CACHE=0.
+    cache_dir = os.environ.get(
+        "MDL_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from matdeeplearn_tpu.parallel import make_mesh, maybe_initialize_distributed
 
     maybe_initialize_distributed()
@@ -186,13 +198,19 @@ def main(argv=None):
         predict(dataset, config["Training"]["loss"], config["Job"])
     elif run_mode == "Repeat":
         print("Repeat training for " + str(config["Job"]["repeat_trials"]) + " trials")
-        train_repeat(dataset, config["Job"], config["Training"], config["Models"])
+        train_repeat(
+            dataset, config["Job"], config["Training"], config["Models"], mesh=mesh
+        )
     elif run_mode == "CV":
         print("Starting cross validation")
-        train_CV(dataset, config["Job"], config["Training"], config["Models"])
+        train_CV(
+            dataset, config["Job"], config["Training"], config["Models"], mesh=mesh
+        )
     elif run_mode == "Ensemble":
         print("Starting ensemble training")
-        train_ensemble(dataset, config["Job"], config["Training"], config["Models"])
+        train_ensemble(
+            dataset, config["Job"], config["Training"], config["Models"], mesh=mesh
+        )
     elif run_mode == "Analysis":
         print("Starting analysis of graph features")
         tsne_args = {

@@ -165,6 +165,108 @@ def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
     return scan_eval_epoch_fn(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding))
 
 
+def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):
+    """SPMD step over a host-fed batch pytree with a leading (dp, ...) axis
+    (streaming datasets: the dataset never enters HBM, so each step receives
+    dp stacked per-replica batches sharded over the dp axis). Semantics match
+    _spmd_train_body: per-replica BN, count-weighted global mean loss ⇒
+    jax.grad gives the DDP-averaged gradient."""
+    loss_fn = get_loss(loss_name)
+    dp = mesh.shape["dp"]
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        rngs = jax.random.split(rng, dp)
+
+        def compute(params):
+            def fwd(b, r):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    b,
+                    training=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": r},
+                )
+                y = b.y if out.ndim > 1 else b.y[:, 0]
+                return (
+                    loss_fn(out, y, b.graph_mask),
+                    jnp.sum(b.graph_mask),
+                    mut.get("batch_stats", {}),
+                )
+
+            losses, counts, stats = jax.vmap(fwd)(batch, rngs)
+            total = jnp.sum(losses * counts)
+            count = jnp.maximum(jnp.sum(counts), 1.0)
+            new_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), stats)
+            return total / count, (new_stats, count)
+
+        (loss, (new_stats, count)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats if state.batch_stats else state.batch_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss, count
+
+    return step
+
+
+def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh):
+    """Eval analog of make_spmd_batch_train_step; outputs are flattened
+    row-major over (dp, B) = original global id order."""
+    loss_fn = get_loss(loss_name)
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        def fwd(b):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                b,
+                training=False,
+            )
+            y = b.y if out.ndim > 1 else b.y[:, 0]
+            return loss_fn(out, y, b.graph_mask), jnp.sum(b.graph_mask), out
+
+        losses, counts, outs = jax.vmap(fwd)(batch)
+        total = jnp.sum(losses * counts)
+        count = jnp.maximum(jnp.sum(counts), 1.0)
+        outs = outs.reshape((-1,) + outs.shape[2:])
+        return total / count, count, outs
+
+    return step
+
+
+class ShardedStream:
+    """Wraps a StreamingGraphDataset so each assemble() returns dp stacked
+    per-replica batches placed with a P('dp') sharding — streaming × SPMD.
+    Everything else (targets, metadata) delegates to the wrapped dataset."""
+
+    def __init__(self, sds, mesh: Mesh):
+        self._sds = sds
+        self._mesh = mesh
+        self._dp = int(mesh.shape["dp"])
+        self._sharding = NamedSharding(mesh, P("dp"))
+
+    def __getattr__(self, name):
+        return getattr(self._sds, name)
+
+    def __len__(self):
+        return len(self._sds)
+
+    def assemble(self, graph_ids, spec):
+        import numpy as np
+
+        ids = np.asarray(graph_ids).reshape(self._dp, -1)
+        parts = [self._sds.assemble(row, spec) for row in ids]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *parts)
+        return jax.device_put(stacked, self._sharding)
+
+
 def shard_ids(ids, dp: int):
     """Reshape a flat (dp*B,) id vector to (dp, B) for the spmd step."""
     import numpy as np

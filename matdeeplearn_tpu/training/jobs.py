@@ -57,6 +57,7 @@ class Run:
     scheduler_args: dict = field(default_factory=dict)
     fused_fns: dict = field(default_factory=dict)  # cache: avoids retracing
     streaming: Any = None  # StreamingGraphDataset when host-fed (large mode)
+    reset_state_fn: Any = None  # seed -> fresh TrainState (no retrace)
 
 
 def setup_run(
@@ -88,10 +89,6 @@ def setup_run(
     from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
 
     is_stream = isinstance(dataset, StreamingGraphDataset)
-    assert not (is_stream and mesh is not None), (
-        "dataset_type='large' streams batches from host; combine with "
-        "parallel='False' (SPMD needs the dataset in HBM)"
-    )
     kernel = str(model_parameters.get("kernel", "auto")).lower()
     eligible = model_name not in ("SM", "SOAP") and mesh is None and not is_stream
     edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
@@ -152,7 +149,23 @@ def setup_run(
         sample_batch = jax.jit(assemble_fn)(data, sample_ids)
     else:
         sample_batch = T.assemble_batch(data, sample_ids, spec)
-    state = T.init_state(model, tx, sample_batch, seed)
+    # One jitted init shared by the first state and any later resets, so
+    # CV folds / Repeat trials re-initialize without retracing model.init.
+    from functools import partial as _p
+
+    _init_jit = jax.jit(_p(model.init, training=False))
+
+    def reset_state_fn(seed_: int) -> T.TrainState:
+        variables = _init_jit(jax.random.PRNGKey(seed_), sample_batch)
+        params = variables["params"]
+        return T.TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    state = reset_state_fn(seed)
     if print_model:
         model_summary(state.params, model_name)
     # Serializable model config for checkpoint-based reconstruction.
@@ -164,7 +177,23 @@ def setup_run(
     cfg["output_dim"] = dataset.output_dim
     cfg["edge_resolution"] = dataset.num_edge_features
     loss_fn = T.get_loss(loss)
-    if mesh is not None:
+    if is_stream and mesh is not None:
+        # Streaming × SPMD: host assembles dp per-replica batches per step,
+        # stacked and placed with a P('dp') sharding (ShardedStream); the
+        # step is the batch-fed SPMD variant. The ep axis is unused here —
+        # edge arrays arrive per-replica from the host.
+        from matdeeplearn_tpu.parallel.spmd import (
+            ShardedStream,
+            make_spmd_batch_eval_step,
+            make_spmd_batch_train_step,
+        )
+
+        dataset = ShardedStream(dataset, mesh)
+        train_body = eval_body = None
+        train_step = make_spmd_batch_train_step(model, tx, loss, mesh)
+        eval_step = make_spmd_batch_eval_step(model, loss, mesh)
+        train_epoch_fn = eval_epoch_fn = None
+    elif mesh is not None:
         from functools import partial as _partial
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -209,6 +238,7 @@ def setup_run(
         train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec, assemble_fn)
         eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
+        reset_state_fn=reset_state_fn,
         train_body=train_body,
         eval_body=eval_body,
         lr=lr,
@@ -340,6 +370,17 @@ def run_fused_training(
     )
 
 
+def reset_run(run: Run, seed: int) -> Run:
+    """Fresh params/optimizer/scheduler for a new trial/fold on an existing
+    Run, keeping every traced program (step fns, fused programs, jitted
+    init) — CV folds and Repeat trials pay compile cost once."""
+    run.state = run.reset_state_fn(seed)
+    run.scheduler = build_scheduler(
+        run.scheduler_name, run.lr, run.scheduler_args
+    )
+    return run
+
+
 def _final_outputs(run: Run, dataset, idx, batch_size):
     if run.streaming is not None:
         from matdeeplearn_tpu.training.stream import stream_evaluate
@@ -362,10 +403,12 @@ def train_regular(
     training_parameters: dict,
     model_parameters: dict,
     mesh=None,
+    run: Run | None = None,
 ) -> dict:
     """The Training run mode (reference train_regular, training.py:377-539).
     With a mesh, runs the SPMD multi-chip step with lr × world_size
-    (reference DDP lr scaling, training.py:389)."""
+    (reference DDP lr scaling, training.py:389). Pass a `run` to reuse its
+    compiled programs across trials (Repeat mode) — its state is re-seeded."""
     job_name = str(job_parameters.get("job_name", "train_job"))
     seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
     loss = training_parameters.get("loss", "l1_loss")
@@ -379,11 +422,14 @@ def train_regular(
         seed=seed,
     )
 
-    run = setup_run(
-        dataset, model_parameters, loss, seed=seed, lr_scale=lr_scale,
-        print_model=bool(model_parameters.get("print_model", True)),
-        mesh=mesh,
-    )
+    if run is None:
+        run = setup_run(
+            dataset, model_parameters, loss, seed=seed, lr_scale=lr_scale,
+            print_model=bool(model_parameters.get("print_model", True)),
+            mesh=mesh,
+        )
+    else:
+        reset_run(run, seed)
     batch_size = run.global_batch
 
     if str(job_parameters.get("load_model")) == "True":
@@ -507,39 +553,41 @@ def train_CV(
     job_parameters: dict,
     training_parameters: dict,
     model_parameters: dict,
+    mesh=None,
 ) -> float:
     """The CV run mode (reference train_CV, training.py:587-715): n folds,
-    train on n-1, test on held-out fold, fresh model per fold, no val set."""
+    train on n-1, test on held-out fold, fresh model per fold, no val set.
+    One Run is compiled and shared by all folds (fresh params per fold via
+    reset_run), so CV×n pays single-run compile time."""
     job_name = str(job_parameters.get("job_name", "CV_job"))
     seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
     folds = int(job_parameters.get("cv_folds", 5))
     loss = training_parameters.get("loss", "l1_loss")
-    batch_size = int(model_parameters.get("batch_size", 100))
+    lr_scale = float(mesh.shape["dp"]) if mesh is not None else 1.0
 
     cv_idx = D.split_data_CV(dataset, num_folds=folds, seed=seed)
     cv_error = 0.0
     all_ids, all_targs, all_preds = [], [], []
+    run = setup_run(
+        dataset, model_parameters, loss, seed=seed, lr_scale=lr_scale,
+        print_model=bool(model_parameters.get("print_model", True)),
+        mesh=mesh,
+    )
+    batch_size = run.global_batch
     for k in range(folds):
         test_idx = cv_idx[k]
         train_idx = np.concatenate([cv_idx[j] for j in range(folds) if j != k])
-        run = setup_run(
-            dataset, model_parameters, loss, seed=seed + k,
-            print_model=(k == 0 and bool(model_parameters.get("print_model", True))),
-        )
-        best_state, _ = T.trainer(
-            train_epoch_fn=run.train_epoch_fn,
-            eval_epoch_fn=run.eval_epoch_fn,
-            state=run.state,
-            scheduler=run.scheduler,
-            data=run.data,
+        reset_run(run, seed + k)
+        _, last_state, _ = run_fused_training(
+            run,
             train_idx=train_idx,
             val_idx=np.array([], np.int64),
-            batch_size=batch_size,
             epochs=int(model_parameters.get("epochs", 250)),
             verbosity=int(training_parameters.get("verbosity", 5)),
-            rng_key=jax.random.PRNGKey(seed + k),
+            seed=seed + k,
         )
-        run.state = best_state
+        # No val split: the reference keeps the final-epoch model per fold.
+        run.state = last_state
         err, ids, targs, preds = _final_outputs(run, dataset, test_idx, batch_size)
         print("Fold {} test error: {:.5f}".format(k, err))
         cv_error += err
@@ -562,14 +610,25 @@ def train_repeat(
     job_parameters: dict,
     training_parameters: dict,
     model_parameters: dict,
+    mesh=None,
 ) -> np.ndarray:
     """The Repeat run mode (reference train_repeat, training.py:719-843):
-    n independent trials with fresh random seeds; aggregate mean/std."""
+    n independent trials with fresh random seeds; aggregate mean/std.
+    One Run is compiled and reused across all trials (the reference
+    re-invokes DDP training per trial, training.py:736-780; here the mesh
+    and the traced programs carry over)."""
     job_name = str(job_parameters.get("job_name", "repeat_job"))
     trials = int(job_parameters.get("repeat_trials", 5))
     model_path = job_parameters.get("model_path", "my_model.ckpt")
     write_output = str(job_parameters.get("write_output", "False"))
+    lr_scale = float(mesh.shape["dp"]) if mesh is not None else 1.0
 
+    run = setup_run(
+        dataset, model_parameters, training_parameters.get("loss", "l1_loss"),
+        seed=0, lr_scale=lr_scale,
+        print_model=bool(model_parameters.get("print_model", True)),
+        mesh=mesh,
+    )
     errs = []
     for t in range(trials):
         jp = dict(job_parameters)
@@ -578,7 +637,8 @@ def train_repeat(
         jp["model_path"] = f"{t}_{model_path}"
         jp["write_error"] = "True"
         jp["write_output"] = "True" if write_output != "False" else "False"
-        e = train_regular(dataset, jp, training_parameters, model_parameters)
+        e = train_regular(dataset, jp, training_parameters, model_parameters,
+                          mesh=mesh, run=run)
         errs.append([e["train"], e["val"], e["test"]])
         if write_output == "False":
             for p in (jp["model_path"], "my_model_temp.ckpt"):
@@ -611,6 +671,7 @@ def train_ensemble(
     job_parameters: dict,
     training_parameters: dict,
     models_parameters: dict[str, dict],
+    mesh=None,
 ) -> float:
     """The Ensemble run mode (reference train_ensemble, training.py:1069-1196):
     train each listed model config, average test-set predictions."""
@@ -631,7 +692,7 @@ def train_ensemble(
         jp["seed"] = seed
         jp["write_output"] = "True"
         mp = dict(models_parameters[mname])
-        e = train_regular(dataset, jp, training_parameters, mp)
+        e = train_regular(dataset, jp, training_parameters, mp, mesh=mesh)
         errors.append(e["test"])
         with open(f"{jp['job_name']}_test_outputs.csv") as f:
             rows = list(csv.reader(f))[1:]
