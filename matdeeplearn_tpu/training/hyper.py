@@ -188,6 +188,63 @@ def run_trial(
     return best_val, history
 
 
+def _execute_trial(payload: dict) -> dict:
+    """Run one trial from a picklable payload; returns its result record.
+
+    Top-level so spawn-based worker processes can import it. Loads (or
+    receives) the dataset, trains, checkpoints the best state, and cleans
+    up any per-trial processed dir."""
+    t = payload["trial"]
+    cfg = payload["config"]
+    data_path = payload["data_path"]
+    trial_ds = payload.get("dataset")
+    proc_dir = None
+    if trial_ds is None:
+        pargs = {**payload["processing_parameters"],
+                 **{k: v for k, v in cfg.items() if k in _PROCESSING_KEYS}}
+        if payload["needs_reprocess"]:
+            proc_dir = f"processed_hyper_{payload['stamp']}_{t}"
+            pargs["processed_path"] = proc_dir
+        trial_ds = D.get_dataset(
+            data_path,
+            payload["training_parameters"].get("target_index", 0),
+            "False", pargs,
+        )
+    t0 = time.time()
+    try:
+        best_val, history = run_trial(
+            trial_ds, cfg, payload["job_parameters"],
+            payload["training_parameters"], payload["model_parameters"],
+            report_every=payload["report_every"],
+            rung_checks=payload["rung_checks"],
+            checkpoint_path=payload["checkpoint_path"],
+            seed=payload["seed"],
+        )
+    finally:
+        if proc_dir and payload["delete_processed"] and data_path:
+            import shutil
+
+            full = os.path.join(data_path, proc_dir)
+            if os.path.exists(full):
+                shutil.rmtree(full)
+    return {
+        "trial": t, "config": cfg, "best_val": best_val,
+        "history": history, "seconds": time.time() - t0,
+    }
+
+
+def _rung_checks(rung_epochs, results) -> list[tuple[int, float]]:
+    """Median val error of completed trials at each rung epoch."""
+    out = []
+    for re_ in rung_epochs:
+        vals = [
+            h["val"] for r in results for h in r.get("history", [])
+            if h.get("epoch") == re_ and "val" in h
+        ]
+        out.append((re_, float(np.median(vals)) if vals else float("inf")))
+    return out
+
+
 def tune_setup(
     search_space: dict,
     job_parameters: dict,
@@ -198,18 +255,41 @@ def tune_setup(
     dataset: D.GraphDataset | None = None,
 ) -> dict:
     """Run the search; returns {"config", "best_val", "trial"} of the winner
-    (reference tune_setup, training/training.py:981-1065)."""
+    (reference tune_setup, training/training.py:981-1065).
+
+    Concurrency and fault tolerance match the reference's Ray runner:
+    `hyper_concurrency` trials run in parallel worker processes
+    (config.yml:50; reference training.py:1006) and up to `max_failures`
+    crashed trials are tolerated and recorded before the sweep aborts
+    (reference training.py:1051). Failed trials are retried on resume.
+    On a single TPU chip, worker processes cannot share the device, so
+    concurrency >1 falls back to serial unless more than one process can
+    own a chip (set MDL_HYPER_FORCE_CONCURRENCY=1 to override)."""
     job_name = str(job_parameters.get("job_name", "hyper_job"))
     trials = int(job_parameters.get("hyper_trials", 10))
     report_every = int(job_parameters.get("hyper_iter", 1))
     resume = str(job_parameters.get("hyper_resume", "True")) == "True"
     delete_processed = str(job_parameters.get("hyper_delete_processed", "True")) == "True"
     seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
+    concurrency = int(job_parameters.get("hyper_concurrency", 1))
+    max_failures = int(job_parameters.get("max_failures", 4))
+
+    if concurrency > 1:
+        import jax as _jax
+
+        if (_jax.default_backend() == "tpu"
+                and not os.environ.get("MDL_HYPER_FORCE_CONCURRENCY")):
+            print(
+                f"hyper_concurrency={concurrency} requested but a single TPU "
+                "chip can only serve one process; running trials serially"
+            )
+            concurrency = 1
 
     tdir = _trial_dir(job_name)
     log_path = os.path.join(tdir, "trials.jsonl")
     done = _load_completed(log_path) if resume else []
-    done_ids = {d["trial"] for d in done}
+    # Failed records don't block a retry on resume.
+    done_ids = {d["trial"] for d in done if "best_val" in d}
     if not resume and os.path.exists(log_path):
         os.remove(log_path)
         done = []
@@ -218,59 +298,104 @@ def tune_setup(
     rung_epochs = sorted({max(1, epochs // 4), max(1, epochs // 2)})
 
     needs_reprocess = any(k in _PROCESSING_KEYS for k in search_space)
-    results = list(done)
-    for t in range(trials):
-        if t in done_ids:
-            continue
+    results = [d for d in done if "best_val" in d]
+    stamp = int(time.time())
+
+    def payload_for(t: int) -> dict:
         rng = np.random.default_rng(seed + 1000 * t)
         cfg = sample_space(search_space, rng)
-
-        trial_ds = dataset
-        proc_dir = None
-        if needs_reprocess or trial_ds is None:
-            pargs = {**processing_parameters,
-                     **{k: v for k, v in cfg.items() if k in _PROCESSING_KEYS}}
-            proc_dir = f"processed_hyper_{int(time.time())}_{t}"
-            pargs["processed_path"] = proc_dir
-            trial_ds = D.get_dataset(
-                data_path, training_parameters.get("target_index", 0),
-                "False", pargs,
-            )
-
-        # median val error of prior trials at each rung
-        rung_checks = []
-        for re_ in rung_epochs:
-            vals = [
-                h["val"] for r in results for h in r.get("history", [])
-                if h.get("epoch") == re_ and "val" in h
-            ]
-            rung_checks.append((re_, float(np.median(vals)) if vals else float("inf")))
-
-        t0 = time.time()
-        best_val, history = run_trial(
-            trial_ds, cfg, job_parameters, training_parameters, model_parameters,
-            report_every=report_every, rung_checks=rung_checks,
-            checkpoint_path=os.path.join(tdir, f"trial_{t}.ckpt"),
-            seed=seed,
-        )
-        rec = {
-            "trial": t, "config": cfg, "best_val": best_val,
-            "history": history, "seconds": time.time() - t0,
+        return {
+            "trial": t, "config": cfg, "seed": seed, "stamp": stamp,
+            "data_path": data_path,
+            # ship the in-memory dataset only when there's no path to load
+            # from (worker processes reload via the npz cache instead)
+            "dataset": (dataset if (data_path is None and not needs_reprocess)
+                        else None),
+            "needs_reprocess": needs_reprocess,
+            "delete_processed": delete_processed,
+            "report_every": report_every,
+            "rung_checks": _rung_checks(rung_epochs, results),
+            "checkpoint_path": os.path.join(tdir, f"trial_{t}.ckpt"),
+            "job_parameters": dict(job_parameters),
+            "training_parameters": dict(training_parameters),
+            "model_parameters": dict(model_parameters),
+            "processing_parameters": dict(processing_parameters or {}),
         }
-        results.append(rec)
+
+    def record(rec: dict):
+        if "best_val" in rec:
+            results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"Trial {t}: val={best_val:.5f} config={cfg}")
+        if "best_val" in rec:
+            print(f"Trial {rec['trial']}: val={rec['best_val']:.5f} "
+                  f"config={rec['config']}")
+        else:
+            print(f"Trial {rec['trial']} FAILED: {rec['error']}")
 
-        if proc_dir and delete_processed and data_path:
-            import shutil
+    pending = [t for t in range(trials) if t not in done_ids]
+    failures = 0
 
-            full = os.path.join(data_path, proc_dir)
-            if os.path.exists(full):
-                shutil.rmtree(full)
+    if concurrency <= 1:
+        # Pre-built dataset is reusable serially even when reprocessing is
+        # off; avoid a per-trial reload.
+        for t in pending:
+            p = payload_for(t)
+            if dataset is not None and not needs_reprocess:
+                p["dataset"] = dataset
+            try:
+                record(_execute_trial(p))
+            except Exception as e:  # noqa: BLE001 — trial crash tolerance
+                failures += 1
+                record({"trial": t, "config": p["config"], "error": repr(e)})
+                if failures > max_failures:
+                    raise RuntimeError(
+                        f"hyperparameter sweep aborted: {failures} trial "
+                        f"failures exceed max_failures={max_failures}"
+                    ) from e
+    else:
+        import concurrent.futures as cf
+        import multiprocessing as mp
 
-    finished = [r for r in results if "best_val" in r]
-    best = min(finished, key=lambda r: r["best_val"])
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(
+            max_workers=concurrency, mp_context=ctx
+        ) as pool:
+            running: dict = {}
+            it = iter(pending)
+            abort = None
+            while True:
+                while abort is None and len(running) < concurrency:
+                    t = next(it, None)
+                    if t is None:
+                        break
+                    p = payload_for(t)
+                    running[pool.submit(_execute_trial, p)] = p
+                if not running:
+                    break
+                ready, _ = cf.wait(
+                    list(running), return_when=cf.FIRST_COMPLETED
+                )
+                for fut in ready:
+                    p = running.pop(fut)
+                    try:
+                        record(fut.result())
+                    except Exception as e:  # noqa: BLE001 — crash tolerance
+                        failures += 1
+                        record({"trial": p["trial"], "config": p["config"],
+                                "error": repr(e)})
+                        if failures > max_failures and abort is None:
+                            abort = RuntimeError(
+                                f"hyperparameter sweep aborted: {failures} "
+                                f"trial failures exceed "
+                                f"max_failures={max_failures}"
+                            )
+            if abort is not None:
+                raise abort
+
+    if not results:
+        raise RuntimeError("no hyperparameter trial finished successfully")
+    best = min(results, key=lambda r: r["best_val"])
     print("Best trial hyper_args: {}".format(best["config"]))
     print("Best trial final validation error: {:.5f}".format(best["best_val"]))
     return best

