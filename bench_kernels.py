@@ -62,7 +62,7 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
-    for e_target in (65_536, 262_144, 1_048_576, 4_194_304):
+    for e_target in (16_384, 32_768, 65_536, 262_144, 1_048_576, 4_194_304):
         n = e_target // degree
         rng = np.random.default_rng(0)
         # dst-sorted edges with ~uniform degree (windowed layout invariant)
@@ -132,8 +132,10 @@ def main():
         results.append(rec)
 
     best_speedups = {
-        r["edges"]: max(w["speedup_fwd"] for w in r["windowed"]
-                        if w["numerics_ok"])
+        r["edges"]: max(
+            [w["speedup_fwd"] for w in r["windowed"] if w["numerics_ok"]],
+            default=0.0,
+        )
         for r in results if r["windowed"]
     }
     crossover = None

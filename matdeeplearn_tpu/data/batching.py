@@ -54,6 +54,33 @@ class BatchSpec:
             round_up(max(e, 1), align_edges or align),
         )
 
+    @classmethod
+    def packed_for_dataset(cls, node_counts, edge_counts, batch_size: int,
+                           align: int = 8, align_edges: int | None = None,
+                           slack: float = 1.08):
+        """Budget-packed spec for size-skewed datasets (`batching: packed`).
+
+        `for_dataset` pads every batch to the sum of the `batch_size`
+        LARGEST graphs — on bulk-scale data (mean ~30 atoms, max ~200+)
+        most of that capacity is pad waste. Here the node/edge capacity is
+        ~mean·B + max (enough for balanced greedy bin packing, see
+        packed_id_matrix); graph slots get 1.5× headroom so many-small-graph
+        bins still fit. Per-batch composition varies (similar total
+        nodes/edges, variable graph count); the sample-weighted loss
+        (training/train.py:_masked_mean × count accumulation) keeps the
+        epoch objective identical to the reference's.
+        """
+        nc = np.asarray(node_counts)
+        ec = np.asarray(edge_counts)
+        b = min(batch_size, len(nc))
+        n = int(np.ceil(slack * float(nc.mean()) * b + nc.max()))
+        e = int(np.ceil(slack * float(ec.mean()) * b + ec.max()))
+        return cls(
+            int(np.ceil(1.5 * batch_size)) + 1,
+            round_up(max(n, 1), align),
+            round_up(max(e, 1), align_edges or align),
+        )
+
 
 class DeviceDataset(struct.PyTreeNode):
     """Featurized dataset resident in device memory (HBM)."""
@@ -366,3 +393,69 @@ def batch_iterator(num_graphs: int, batch_size: int, shuffle: bool, seed: int | 
                 [chunk, np.full(batch_size - len(chunk), -1, dtype=np.int64)]
             )
         yield chunk.astype(np.int32)
+
+
+def packed_steps(indices, node_counts, edge_counts, spec: BatchSpec,
+                 nominal_batch: int) -> int:
+    """Static per-split step count for packed batching: enough bins that
+    balanced greedy packing (max bin load <= mean load + max item) always
+    fits the spec's node/edge/graph-slot capacities, for any shuffle."""
+    nc = np.asarray(node_counts)[np.asarray(indices)]
+    ec = np.asarray(edge_counts)[np.asarray(indices)]
+    n_bound = int(np.ceil(nc.sum() / max(spec.num_nodes - nc.max(), 1)))
+    e_bound = int(np.ceil(ec.sum() / max(spec.num_edges - ec.max(), 1)))
+    g_bound = int(np.ceil(len(nc) / spec.num_graphs))
+    nominal = int(np.ceil(len(nc) / max(nominal_batch, 1)))
+    return max(1, nominal, n_bound, e_bound, g_bound)
+
+
+def packed_id_matrix(indices, node_counts, edge_counts, spec: BatchSpec,
+                     nominal_batch: int, shuffle: bool, seed) -> np.ndarray:
+    """(S, spec.num_graphs) id matrix via budget packing, -1 on empty slots.
+
+    shuffle=True (training): graphs in random order are assigned to the
+    least-node-loaded eligible bin of a FIXED set of S bins — max bin load
+    stays within mean+max, so the spec from packed_for_dataset always
+    fits and S is identical for every epoch (static fused-scan shapes).
+    shuffle=False (eval): sequential fill preserving id order, so flat
+    batch outputs read back in `indices` order after dropping -1 slots.
+    """
+    indices = np.asarray(indices, np.int64)
+    nc_all = np.asarray(node_counts)
+    ec_all = np.asarray(edge_counts)
+    b_cap, cap_n, cap_e = spec.num_graphs, spec.num_nodes, spec.num_edges
+    order = indices.copy()
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    steps = packed_steps(indices, node_counts, edge_counts, spec, nominal_batch)
+
+    out = np.full((steps, b_cap), -1, np.int32)
+    if not shuffle:
+        j, ln, le, cnt = 0, 0, 0, 0
+        for gid in order:
+            n_i, e_i = int(nc_all[gid]), int(ec_all[gid])
+            if cnt == b_cap or ln + n_i > cap_n or le + e_i > cap_e:
+                j, ln, le, cnt = j + 1, 0, 0, 0
+                if j >= steps:  # sequential fill can trail the bound
+                    out = np.vstack([out, np.full((1, b_cap), -1, np.int32)])
+                    steps += 1
+            out[j, cnt] = gid
+            ln, le, cnt = ln + n_i, le + e_i, cnt + 1
+        return out
+
+    loads_n = np.zeros(steps, np.int64)
+    loads_e = np.zeros(steps, np.int64)
+    counts = np.zeros(steps, np.int64)
+    for gid in order:
+        n_i, e_i = int(nc_all[gid]), int(ec_all[gid])
+        ok = (counts < b_cap) & (loads_n + n_i <= cap_n) & (loads_e + e_i <= cap_e)
+        assert ok.any(), (
+            "packed batching overflow: no bin fits graph "
+            f"{gid} (n={n_i}, e={e_i}) — spec {spec} too tight for this split"
+        )
+        j = int(np.argmin(np.where(ok, loads_n, np.iinfo(np.int64).max)))
+        out[j, counts[j]] = gid
+        loads_n[j] += n_i
+        loads_e[j] += e_i
+        counts[j] += 1
+    return out

@@ -129,6 +129,18 @@ def windowize_edges(
 # ------------------------------------------------------------------ kernels
 
 
+def _hilo(v):
+    """Split f32 into two bf16-exact f32 parts (hi + lo == v to ~2^-17).
+
+    The TPU MXU multiplies in bf16; a single-pass one-hot matmul would
+    truncate the f32 messages to ~2e-3 relative error (measured on v5e,
+    KERNELS.json r2). The one-hot operand is exactly representable, so a
+    two-pass hi/lo split of the data operand restores f32-class accuracy
+    at 2x the (cheap, bandwidth-dominated) MXU work."""
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, v - hi
+
+
 def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te):
     t = pl.program_id(0)
 
@@ -140,9 +152,13 @@ def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te):
     local = dst_ref[:] - base                       # (TE, 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
     onehot = (local == rows).astype(jnp.float32)    # (TE, TW)
+    hi, lo = _hilo(msg_ref[:])
+    dn = (((0,), (0,)), ((), ()))
     out_ref[:] += jax.lax.dot_general(
-        onehot, msg_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot, hi, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        onehot, lo, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
 
@@ -152,8 +168,10 @@ def _gather_kernel(wid_ref, first_ref, dst_ref, x_ref, out_ref, *, tw, te):
     local = dst_ref[:] - base
     rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
     onehot = (local == rows).astype(jnp.float32)
-    out_ref[:] = jnp.dot(
-        onehot, x_ref[:], preferred_element_type=jnp.float32
+    hi, lo = _hilo(x_ref[:])
+    out_ref[:] = (
+        jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+        + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
     )
 
 

@@ -182,6 +182,7 @@ def fused_trainer(
     checkpoint_fn=None,
     shuffle_seed_base: int = 0,
     fused_fn=None,
+    id_matrix_fn=None,
 ):
     """Run `epochs` epochs, dispatching `verbosity`-sized chunks. Returns
     (best_state, last_state, final_sched_state). Pass a cached `fused_fn`
@@ -193,8 +194,9 @@ def fused_trainer(
         train_body, eval_body, has_val=has_val,
         scheduler_kwargs=scheduler_kwargs, scheduler_enabled=scheduler_enabled,
     )
+    idm = id_matrix_fn or partial(epoch_id_matrix, batch_size=batch_size)
     val_ids = jnp.asarray(
-        epoch_id_matrix(val_idx, batch_size, shuffle=False, seed=None)
+        idm(val_idx, shuffle=False, seed=None)
         if has_val else np.zeros((1, batch_size), np.int32)
     )
     carry = FusedCarry(
@@ -213,10 +215,7 @@ def fused_trainer(
     while epoch < epochs:
         k = min(chunk, epochs - epoch)
         ids = np.stack([
-            epoch_id_matrix(
-                train_idx, batch_size, shuffle=True,
-                seed=shuffle_seed_base + epoch + e + 1,
-            )
+            idm(train_idx, shuffle=True, seed=shuffle_seed_base + epoch + e + 1)
             for e in range(k)
         ])
         carry, metrics = fused(carry, data, jnp.asarray(ids), val_ids)

@@ -167,12 +167,13 @@ def run_trial(
     for epoch in range(1, epochs + 1):
         state, train_error, rngs = T.train_epoch_scan(
             run.train_epoch_fn, state, run.data, train_idx, batch_size, rngs,
-            shuffle_seed=epoch,
+            shuffle_seed=epoch, id_matrix_fn=run.id_matrix_fn,
         )
         state = state.with_lr(run.scheduler.step(train_error))
         if epoch % report_every == 0 or epoch == epochs:
             val_error = T.evaluate_scan(
-                run.eval_epoch_fn, state, run.data, val_idx, batch_size
+                run.eval_epoch_fn, state, run.data, val_idx, batch_size,
+                id_matrix_fn=run.id_matrix_fn,
             )
             history.append({"epoch": epoch, "train": train_error, "val": val_error})
             if val_error < best_val:

@@ -58,6 +58,7 @@ class Run:
     fused_fns: dict = field(default_factory=dict)  # cache: avoids retracing
     streaming: Any = None  # StreamingGraphDataset when host-fed (large mode)
     reset_state_fn: Any = None  # seed -> fresh TrainState (no retrace)
+    id_matrix_fn: Any = None  # (indices, shuffle, seed) -> id matrix; None = padded
 
 
 def setup_run(
@@ -89,6 +90,7 @@ def setup_run(
     from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
 
     is_stream = isinstance(dataset, StreamingGraphDataset)
+    id_matrix_fn = None
     kernel = str(model_parameters.get("kernel", "auto")).lower()
     eligible = model_name not in ("SM", "SOAP") and mesh is None and not is_stream
     edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
@@ -123,9 +125,28 @@ def setup_run(
         data = None
         assemble_fn = None
     else:
-        spec = BatchSpec.for_dataset(
-            dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
-        )
+        batching = str(model_parameters.get("batching", "padded")).lower()
+        if batching == "packed" and mesh is None:
+            # Budget-packed batches for size-skewed datasets: node/edge
+            # capacity ~ mean·B + max instead of the sum of the B largest
+            # graphs (see BatchSpec.packed_for_dataset). Same compiled
+            # program shape every step; host packs ids into balanced bins.
+            from matdeeplearn_tpu.data.batching import packed_id_matrix
+
+            spec = BatchSpec.packed_for_dataset(
+                dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
+            )
+            nc, ec = dataset.node_counts(), dataset.edge_counts()
+            id_matrix_fn = lambda idx, shuffle, seed: packed_id_matrix(
+                idx, nc, ec, spec, bs, shuffle, seed
+            )
+        else:
+            if batching == "packed":
+                print("batching=packed is single-chip only for now; "
+                      "falling back to padded batches under the mesh")
+            spec = BatchSpec.for_dataset(
+                dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
+            )
         data = DeviceDataset.from_graph_dataset(dataset)
         assemble_fn = None
     lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
@@ -139,10 +160,19 @@ def setup_run(
         lr,
         model_parameters.get("scheduler_args") or {},
     )
-    sample_ids = jnp.asarray(
-        np.arange(min(bs, len(dataset)), dtype=np.int32)
-    )
-    sample_ids = jnp.pad(sample_ids, (0, bs - sample_ids.shape[0]), constant_values=-1)
+    if id_matrix_fn is not None:
+        # Packed spec: a budget-respecting first row from the packer.
+        sample_ids = jnp.asarray(
+            id_matrix_fn(np.arange(min(bs, len(dataset))), False, None)[0]
+        )
+    else:
+        sample_b = spec.num_graphs
+        sample_ids = jnp.asarray(
+            np.arange(min(sample_b, len(dataset)), dtype=np.int32)
+        )
+        sample_ids = jnp.pad(
+            sample_ids, (0, sample_b - sample_ids.shape[0]), constant_values=-1
+        )
     if is_stream:
         sample_batch = dataset.assemble(np.asarray(sample_ids), spec)
     elif assemble_fn is not None:
@@ -239,6 +269,7 @@ def setup_run(
         eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
         reset_state_fn=reset_state_fn,
+        id_matrix_fn=id_matrix_fn,
         train_body=train_body,
         eval_body=eval_body,
         lr=lr,
@@ -367,6 +398,7 @@ def run_fused_training(
         checkpoint_fn=checkpoint_fn,
         shuffle_seed_base=seed,
         fused_fn=fused_fn,
+        id_matrix_fn=run.id_matrix_fn,
     )
 
 
@@ -391,7 +423,8 @@ def _final_outputs(run: Run, dataset, idx, batch_size):
         )
     else:
         loss, preds, targs = T.evaluate_scan(
-            run.eval_epoch_fn, run.state, run.data, idx, batch_size, out=True
+            run.eval_epoch_fn, run.state, run.data, idx, batch_size, out=True,
+            id_matrix_fn=run.id_matrix_fn,
         )
     ids = [dataset.structure_ids[i] for i in idx]
     return loss, ids, targs, preds

@@ -281,23 +281,37 @@ def make_eval_step(model, loss_name: str, spec: BatchSpec, assemble_fn=None):
 # ------------------------------------------------------------- epoch drivers
 
 
-def train_epoch_scan(epoch_fn, state, data, indices, batch_size, rng_key, shuffle_seed):
+def train_epoch_scan(epoch_fn, state, data, indices, batch_size, rng_key,
+                     shuffle_seed, id_matrix_fn=None):
     """One epoch through the scanned whole-epoch program (one dispatch)."""
-    ids = epoch_id_matrix(indices, batch_size, shuffle=True, seed=shuffle_seed)
+    ids = (id_matrix_fn or partial(epoch_id_matrix, batch_size=batch_size))(
+        indices, shuffle=True, seed=shuffle_seed
+    )
     rng_key, sub = jax.random.split(rng_key)
     state, loss = epoch_fn(state, data, jnp.asarray(ids), sub)
     return state, float(loss), rng_key
 
 
-def evaluate_scan(eval_epoch_fn, state, data, indices, batch_size, out: bool = False):
+def evaluate_scan(eval_epoch_fn, state, data, indices, batch_size,
+                  out: bool = False, id_matrix_fn=None):
     """Mean loss (and optionally predictions/targets in `indices` order)
     via the scanned eval program."""
-    ids = epoch_id_matrix(indices, batch_size, shuffle=False, seed=None)
+    ids = (id_matrix_fn or partial(epoch_id_matrix, batch_size=batch_size))(
+        indices, shuffle=False, seed=None
+    )
     loss, outs = eval_epoch_fn(state, data, jnp.asarray(ids))
     if not out:
         return float(loss)
     outs = np.asarray(outs)
-    outs = outs.reshape((-1,) + outs.shape[2:])[: len(indices)]
+    outs = outs.reshape((-1,) + outs.shape[2:])
+    # Map flat batch-slot outputs back to `indices` order (the default id
+    # matrix is sequential so this is the identity; packed matrices are not).
+    flat_ids = np.asarray(ids).reshape(-1)
+    sel = flat_ids >= 0
+    fids, fouts = flat_ids[sel], outs[sel]
+    order = np.argsort(fids)
+    take = order[np.searchsorted(fids[order], np.asarray(indices))]
+    outs = fouts[take]
     targs = np.asarray(data.y)[np.asarray(indices)]
     if outs.ndim == 1 and targs.ndim == 2 and targs.shape[1] == 1:
         targs = targs[:, 0]
