@@ -24,18 +24,29 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
     """
     n = batch.num_nodes
     if batch.is_windowed:
-        te = batch.num_edges // batch.tile_window.shape[0]
-        we = PS.WindowedEdges(
-            order=batch.edge_dst,  # unused by the kernels
-            dst=batch.edge_dst,
-            window_id=batch.tile_window,
-            first_tile=batch.tile_first,
-            valid=batch.edge_mask,
-        )
         interpret = jax.default_backend() != "tpu"
-        out = PS.windowed_segment_sum(
-            messages, we, n, batch.window_size, te, interpret
-        )
+        in_manual = bool(getattr(jax.typeof(messages), "vma", frozenset()))
+        if interpret and in_manual:
+            # Interpret-mode pallas_call inside a manual shard_map region
+            # trips a jax-0.9 lowering-cache bug; run the (numerically
+            # identical) masked XLA reduction on the windowed layout there.
+            # Real TPU always takes the kernel below.
+            out = segment.segment_sum(
+                messages, jnp.maximum(batch.edge_dst, 0),
+                num_segments=n, mask=batch.edge_mask,
+            )
+        else:
+            te = batch.num_edges // batch.tile_window.shape[0]
+            we = PS.WindowedEdges(
+                order=batch.edge_dst,  # unused by the kernels
+                dst=batch.edge_dst,
+                window_id=batch.tile_window,
+                first_tile=batch.tile_first,
+                valid=batch.edge_mask,
+            )
+            out = PS.windowed_segment_sum(
+                messages, we, n, batch.window_size, te, interpret
+            )
         # Windows with no tiles (pad node region) are never written by the
         # kernel; mask them off so downstream masked reductions stay finite.
         out = jnp.where(batch.node_mask[:, None] > 0, out, 0.0)

@@ -175,6 +175,19 @@ def _gather_kernel(wid_ref, first_ref, dst_ref, x_ref, out_ref, *, tw, te):
     )
 
 
+def _out_struct(shape, *operands):
+    """Out ShapeDtypeStruct with varying-manual-axes metadata propagated
+    from the operands — required when the kernel runs inside a dp-manual
+    jax.shard_map region (check_vma=True)."""
+    try:
+        vma = frozenset().union(
+            *(jax.typeof(o).vma for o in operands)
+        )
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
                                interpret):
     ew, d = messages.shape
@@ -193,7 +206,7 @@ def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
     )
     out = pl.pallas_call(
         partial(_seg_sum_kernel, tw=tw, te=te),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        out_shape=_out_struct((n_pad, d), messages, we.dst, we.window_id),
         grid_spec=grid_spec,
         interpret=interpret,
     )(we.window_id, we.first_tile, we.dst[:, None], messages)
@@ -218,7 +231,7 @@ def _windowed_gather_impl(x, we: WindowedEdges, tw, te, interpret):
     )
     return pl.pallas_call(
         partial(_gather_kernel, tw=tw, te=te),
-        out_shape=jax.ShapeDtypeStruct((ew, d), jnp.float32),
+        out_shape=_out_struct((ew, d), x, we.dst, we.window_id),
         grid_spec=grid_spec,
         interpret=interpret,
     )(we.window_id, we.first_tile, we.dst[:, None], x)

@@ -60,7 +60,8 @@ def _edge_ep_hint(batch, mesh: Mesh):
     )
 
 
-def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding):
+def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
+                     assemble_fn=None):
     """Per-replica step body mapped manually over dp with jax.shard_map.
 
     Design: the per-device program is *structurally identical* to the
@@ -77,7 +78,9 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding):
         rngs = jax.random.split(rng, dp)
 
         def shard_fn(state, data, ids_blk, rng_blk):
-            batch = assemble_batch(data, ids_blk[0], spec)
+            batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(
+                data, ids_blk[0]
+            )
             batch = _edge_ep_hint(batch, mesh)
             rng_local = rng_blk[0]
 
@@ -130,34 +133,41 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding):
     return body
 
 
-def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh):
+def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh,
+                         assemble_fn=None):
     """Multi-chip train step, drop-in for the single-device step: takes a
     flat (dp·B,) id vector (reshaped to one (B,) batch per dp replica)."""
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
-    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding)
+    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
+                            assemble_fn)
     return jax.jit(body), ids_sharding, rep
 
 
-def make_spmd_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh):
+def make_spmd_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec,
+                             mesh: Mesh, assemble_fn=None):
     """Whole-epoch scan over the SPMD step body (one dispatch per epoch)."""
     from matdeeplearn_tpu.training.train import scan_train_epoch_fn
 
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
-    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding)
+    body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
+                            assemble_fn)
     return scan_train_epoch_fn(body)
 
 
-def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding):
+def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
+                    assemble_fn=None):
     dp = int(mesh.shape["dp"])
 
     def body(state: TrainState, data: DeviceDataset, ids):
         ids = ids.reshape(dp, -1)
 
         def shard_fn(state, data, ids_blk):
-            batch = assemble_batch(data, ids_blk[0], spec)
+            batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(
+                data, ids_blk[0]
+            )
             batch = _edge_ep_hint(batch, mesh)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
@@ -183,18 +193,23 @@ def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding):
     return body
 
 
-def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
+def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh,
+                        assemble_fn=None):
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
-    return jax.jit(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding))
+    return jax.jit(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
+                                   assemble_fn))
 
 
-def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh):
+def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh,
+                            assemble_fn=None):
     from matdeeplearn_tpu.training.train import scan_eval_epoch_fn
 
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
-    return scan_eval_epoch_fn(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding))
+    return scan_eval_epoch_fn(
+        _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding, assemble_fn)
+    )
 
 
 def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):

@@ -92,7 +92,11 @@ def setup_run(
     is_stream = isinstance(dataset, StreamingGraphDataset)
     id_matrix_fn = None
     kernel = str(model_parameters.get("kernel", "auto")).lower()
-    eligible = model_name not in ("SM", "SOAP") and mesh is None and not is_stream
+    # Windowed Pallas aggregation: legal single-chip and under a dp-only
+    # mesh (the shard_map body runs one plain per-replica program per
+    # device, so pallas_call needs no vmap/GSPMD lowering). ep>1 shards
+    # the edge dim, which conflicts with the kernel's manual layout.
+    eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
     edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
     use_windowed = eligible and (
         kernel == "pallas"
@@ -238,8 +242,10 @@ def setup_run(
         )
 
         ids_sh = NamedSharding(mesh, P("dp"))
-        train_body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sh)
-        eval_body = _spmd_eval_body(model, loss_fn, spec, mesh, ids_sh)
+        train_body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sh,
+                                      assemble_fn)
+        eval_body = _spmd_eval_body(model, loss_fn, spec, mesh, ids_sh,
+                                    assemble_fn)
         train_step = jax.jit(train_body)
         eval_step = jax.jit(eval_body)
         train_epoch_fn = scan_train_epoch_fn(train_body)

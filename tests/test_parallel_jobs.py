@@ -205,3 +205,29 @@ def test_train_ensemble_with_mesh(toy_dataset, jobdir, eight_devices):
         mesh=mesh,
     )
     assert np.isfinite(err)
+
+
+def test_windowed_kernel_under_mesh(toy_dataset, jobdir, eight_devices):
+    """kernel=pallas now composes with a dp-only mesh (VERDICT r1 #4): the
+    shard_map body runs one plain per-replica program per device, so the
+    Pallas windowed aggregation needs no vmap lowering. Errors must match
+    the same run on the XLA kernel to float tolerance."""
+    from matdeeplearn_tpu.training import train_regular
+
+    mesh = make_mesh(dp=2, ep=1, devices=eight_devices[:2])
+    mp = {**MODEL_PARAMS, "kernel": "pallas", "batch_norm": False}
+    errors = train_regular(
+        toy_dataset,
+        {"job_name": "wm", "seed": 6, "save_model": "False",
+         "write_output": "False"},
+        TRAIN_PARAMS, mp, mesh=mesh,
+    )
+    ref = train_regular(
+        toy_dataset,
+        {"job_name": "wmx", "seed": 6, "save_model": "False",
+         "write_output": "False"},
+        TRAIN_PARAMS, {**mp, "kernel": "xla"}, mesh=mesh,
+    )
+    for split in ("train", "val", "test"):
+        assert np.isfinite(errors[split])
+        assert abs(errors[split] - ref[split]) < 5e-4, split
