@@ -97,32 +97,36 @@ def main():
     print(f"single-device: {t1*1e3:.1f} ms/step, "
           f"{edges_per_step / t1:,.0f} edges/s")
 
-    for dp, ep in [(1, 1), (2, 1), (4, 1), (8, 1), (2, 2), (4, 2)]:
+    for dp, ep in [(1, 1), (2, 1), (4, 1), (8, 1), (2, 2), (4, 2), (1, 8)]:
         if dp * ep > jax.device_count():
             continue
-        mesh = make_mesh(dp=dp, ep=ep, devices=jax.devices()[: dp * ep])
-        per = gb // dp
-        spec = BatchSpec.for_dataset(
-            ds.node_counts(), ds.edge_counts(), per, align=8 * ep
-        )
-        sampleN = T.assemble_batch(
-            data, jnp.asarray(ids[:per]), spec
-        )
-        stateN = T.init_state(model, tx, sampleN, 0)
-        step, _, _ = make_spmd_train_step(model, tx, "l1_loss", spec, mesh)
-        t = time_step(
-            step, stateN, data, jnp.asarray(ids), jax.random.PRNGKey(0),
-            steps=args.steps,
-        )
-        rec = {
-            "dp": dp, "ep": ep, "mode": "spmd", "sec_per_step": t,
-            "edges_per_s": edges_per_step / t,
-            "overhead_vs_single": t / t1,
-        }
-        results.append(rec)
-        print(f"dp={dp} ep={ep}: {t*1e3:.1f} ms/step, "
-              f"{edges_per_step / t:,.0f} edges/s, "
-              f"overhead x{t / t1:.2f}")
+        for ep_mode in (("ring", "gspmd") if ep > 1 else ("ring",)):
+            mesh = make_mesh(dp=dp, ep=ep, devices=jax.devices()[: dp * ep])
+            per = gb // dp
+            spec = BatchSpec.for_dataset(
+                ds.node_counts(), ds.edge_counts(), per, align=8 * ep
+            )
+            sampleN = T.assemble_batch(
+                data, jnp.asarray(ids[:per]), spec
+            )
+            stateN = T.init_state(model, tx, sampleN, 0)
+            step, _, _ = make_spmd_train_step(
+                model, tx, "l1_loss", spec, mesh, ep_mode=ep_mode
+            )
+            t = time_step(
+                step, stateN, data, jnp.asarray(ids), jax.random.PRNGKey(0),
+                steps=args.steps,
+            )
+            mode = f"spmd/{ep_mode}" if ep > 1 else "spmd"
+            rec = {
+                "dp": dp, "ep": ep, "mode": mode, "sec_per_step": t,
+                "edges_per_s": edges_per_step / t,
+                "overhead_vs_single": t / t1,
+            }
+            results.append(rec)
+            print(f"dp={dp} ep={ep} {mode}: {t*1e3:.1f} ms/step, "
+                  f"{edges_per_step / t:,.0f} edges/s, "
+                  f"overhead x{t / t1:.2f}")
 
     payload = {
         "workload": {

@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--write_output", default=None, type=str)
     parser.add_argument("--parallel", default=None, type=str,
                         help="Use multi-chip SPMD if more than one device is visible")
+    parser.add_argument("--ep", default=1, type=int,
+                        help="Edge-parallel mesh axis size: each group of ep "
+                             "devices splits every batch's edge slots and "
+                             "halo-exchanges boundary-node sums (dp = "
+                             "n_devices/ep). Models may set ep_impl: gspmd "
+                             "to use XLA auto-partitioning instead of the "
+                             "ring exchange.")
     parser.add_argument("--reprocess", default=None, type=str)
     parser.add_argument("--profile", default=None, type=str,
                         help="True = write a jax.profiler trace for the run")
@@ -170,8 +177,12 @@ def main(argv=None):
         and len(devices) > 1
         and run_mode in ("Training", "Repeat", "CV", "Ensemble")
     ):
-        mesh = make_mesh(dp=len(devices), ep=1)
-        print(f"Using SPMD mesh: dp={len(devices)}")
+        ep = max(1, int(getattr(args, "ep", 1) or 1))
+        assert len(devices) % ep == 0, (
+            f"--ep={ep} does not divide the {len(devices)} visible devices"
+        )
+        mesh = make_mesh(dp=len(devices) // ep, ep=ep)
+        print(f"Using SPMD mesh: dp={len(devices) // ep}, ep={ep}")
 
     dataset = None
     if run_mode != "Hyperparameter":

@@ -18,12 +18,19 @@ from matdeeplearn_tpu.nn.conv import MEGNetBlock
 from matdeeplearn_tpu.nn.layers import Linear, MLP, get_activation
 from matdeeplearn_tpu.nn.pool import Set2Set, get_pool
 from matdeeplearn_tpu.ops import segment
+from matdeeplearn_tpu.ops.aggregate import edge_segment_reduce
 
 _REDUCE = {
     "global_mean_pool": segment.segment_mean,
     "global_max_pool": segment.segment_max,
     "global_sum_pool": segment.segment_sum,
     "global_add_pool": segment.segment_sum,
+}
+_REDUCE_KIND = {
+    "global_mean_pool": "mean",
+    "global_max_pool": "max",
+    "global_sum_pool": "sum",
+    "global_add_pool": "sum",
 }
 
 
@@ -80,8 +87,9 @@ class MEGNet(GNNBase):
                 x_pool = Set2Set(self.dim3, processing_steps=3, name="set2set_x")(
                     x, batch.node_graph, batch.node_mask, B
                 )
-                e_node = segment.segment_mean(
-                    e, batch.edge_src, num_segments=n, mask=batch.edge_mask
+                e_node = edge_segment_reduce(
+                    "mean", e, batch.edge_src, num_segments=n,
+                    mask=batch.edge_mask,
                 )
                 e_pool = Set2Set(self.dim3, processing_steps=3, name="set2set_e")(
                     e_node, batch.node_graph, batch.node_mask, B
@@ -92,8 +100,9 @@ class MEGNet(GNNBase):
                 x_pool = reduce(
                     x, batch.node_graph, num_segments=B + 1, mask=batch.node_mask
                 )[:B]
-                e_node = reduce(
-                    e, batch.edge_src, num_segments=n, mask=batch.edge_mask
+                e_node = edge_segment_reduce(
+                    _REDUCE_KIND[self.pool], e, batch.edge_src, num_segments=n,
+                    mask=batch.edge_mask,
                 )
                 e_pool = reduce(
                     e_node, batch.node_graph, num_segments=B + 1,

@@ -29,7 +29,7 @@ from matdeeplearn_tpu.nn.layers import (
     xavier_uniform,
 )
 from matdeeplearn_tpu.ops import segment
-from matdeeplearn_tpu.ops.aggregate import edge_aggregate
+from matdeeplearn_tpu.ops.aggregate import edge_aggregate, edge_segment_mean
 
 
 class CGConv(nn.Module):
@@ -194,7 +194,7 @@ class MEGNetBlock(nn.Module):
             comb_e, mask=batch.edge_mask, training=training
         )
 
-        v_e = segment.segment_mean(
+        v_e = edge_segment_mean(
             e_out, edge_src, num_segments=n, mask=batch.edge_mask
         )
         comb_v = jnp.concatenate(
@@ -204,8 +204,8 @@ class MEGNetBlock(nn.Module):
             comb_v, mask=batch.node_mask, training=training
         )
 
-        u_e = segment.segment_mean(e_out, edge_src, num_segments=n,
-                                   mask=batch.edge_mask)
+        u_e = edge_segment_mean(e_out, edge_src, num_segments=n,
+                                mask=batch.edge_mask)
         u_e = segment.segment_mean(
             u_e, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
         )[:num_graphs]

@@ -5,6 +5,11 @@ the graph-aligned windowed layout (data/batching.py:assemble_batch_windowed)
 the reduction runs as one-hot MXU matmuls (ops/pallas_segment.py, ~3.5x
 faster than XLA's scatter at production edge counts, backward included via
 custom VJP); otherwise it falls back to the masked XLA segment ops.
+
+Inside a manual shard_map region where the batch's edge arrays are sharded
+over the ep mesh axis (parallel/spmd.py ep_mode="ring"), each device reduces
+its local edge shard and the boundary-node partials are combined with a
+reduce-scatter + all-gather halo exchange (parallel/ring.py).
 """
 
 from __future__ import annotations
@@ -16,6 +21,13 @@ from matdeeplearn_tpu.ops import pallas_segment as PS
 from matdeeplearn_tpu.ops import segment
 
 
+def _ring():
+    # Lazy: parallel/__init__ pulls in spmd -> training -> models -> ops.
+    from matdeeplearn_tpu.parallel import ring
+
+    return ring
+
+
 def edge_aggregate(messages, batch, reduce: str = "sum"):
     """Aggregate per-edge `messages` (E, D) at destination nodes → (N, D).
 
@@ -23,6 +35,23 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
     torch_scatter's aggr="mean" with our always-present self-loops).
     """
     n = batch.num_nodes
+    ring = _ring()
+    if ring.is_edge_sharded(messages):
+        # Edge-partitioned path: local partial reduction, then halo exchange.
+        # (Windowed layouts are never edge-sharded — jobs.py keeps the Pallas
+        # kernel single-shard.)
+        total = segment.segment_sum(
+            messages, batch.edge_dst_safe, num_segments=n, mask=batch.edge_mask
+        )
+        total = ring.halo_exchange_sum(total)
+        if reduce == "mean":
+            count = segment.segment_count(
+                batch.edge_dst_safe, num_segments=n, mask=batch.edge_mask
+            )
+            count = ring.halo_exchange_sum(count)
+            total = total / jnp.maximum(count, 1.0)[:, None]
+        return total
+
     if batch.is_windowed:
         interpret = jax.default_backend() != "tpu"
         in_manual = bool(getattr(jax.typeof(messages), "vma", frozenset()))
@@ -61,3 +90,53 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
     return segment.segment_sum(
         messages, batch.edge_dst, num_segments=n, mask=batch.edge_mask
     )
+
+
+def edge_segment_mean(values, segment_ids, num_segments, mask):
+    """Mean of edge-sharded `values` at `segment_ids` — the ep-aware analog
+    of ops.segment.segment_mean for callers that aggregate edge features at
+    arbitrary node ids (MEGNet's source-side means, nn/conv.py MetaLayer).
+    Outside a manual ep region this is exactly segment_mean."""
+    ring = _ring()
+    if not ring.is_edge_sharded(values):
+        return segment.segment_mean(
+            values, segment_ids, num_segments=num_segments, mask=mask
+        )
+    total = segment.segment_sum(
+        values, segment_ids, num_segments=num_segments, mask=mask
+    )
+    count = segment.segment_count(segment_ids, num_segments=num_segments, mask=mask)
+    total = ring.halo_exchange_sum(total)
+    count = ring.halo_exchange_sum(count)
+    count = count.reshape(count.shape + (1,) * (total.ndim - count.ndim))
+    return total / jnp.maximum(count, 1.0)
+
+
+def edge_segment_reduce(kind: str, values, segment_ids, num_segments, mask):
+    """Ep-aware sum/mean/max of edge-sharded `values` at node ids (MEGNet's
+    edge→source-node pooling, models/megnet.py readout). `kind` mirrors the
+    torch_scatter reduce names the reference pool map uses."""
+    ring = _ring()
+    if kind == "mean":
+        return edge_segment_mean(values, segment_ids, num_segments, mask)
+    if not ring.is_edge_sharded(values):
+        fn = segment.segment_sum if kind in ("sum", "add") else segment.segment_max
+        return fn(values, segment_ids, num_segments=num_segments, mask=mask)
+    if kind in ("sum", "add"):
+        local = segment.segment_sum(
+            values, segment_ids, num_segments=num_segments, mask=mask
+        )
+        return ring.halo_exchange_sum(local)
+    # max: exchange BEFORE the empty→0 clamp (torch_scatter zero-init
+    # semantics) — a segment whose edges all live on another shard must take
+    # that shard's (possibly negative) max, not 0.
+    neg = jnp.asarray(-jnp.inf, values.dtype)
+    m = mask.astype(bool).reshape(mask.shape + (1,) * (values.ndim - mask.ndim))
+    local = jax.ops.segment_max(
+        jnp.where(m, values, neg), segment_ids, num_segments=num_segments
+    )
+    # all_gather + max rather than pmax: pmax has no differentiation rule,
+    # while all_gather transposes to psum_scatter and jnp.max subgradients
+    # route the cotangent to the winning shard.
+    out = jnp.max(jax.lax.all_gather(local, ring.EP_AXIS), axis=0)
+    return jnp.where(jnp.isfinite(out), out, 0.0)

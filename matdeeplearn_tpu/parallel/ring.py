@@ -1,0 +1,59 @@
+"""Manual edge-partitioned aggregation: halo exchange over the `ep` axis.
+
+The reference's DDP replicates every graph on every rank and NCCL-allreduces
+gradients (training/training.py:227-266). The TPU-first alternative for
+graphs whose edge count dwarfs the node count is *edge parallelism*: each
+device in an `ep` mesh group owns 1/ep of the padded edge slots of the same
+per-replica batch, runs the edge/filter MLPs — where the FLOPs are — on its
+shard only, and the per-node partial sums are then combined across the group.
+
+The combine is the halo exchange. A device's partial rows for nodes whose
+remaining in-edges live on other shards are exactly the boundary ("halo")
+contributions; they are exchanged with
+
+    psum_scatter  (ring reduce-scatter over ICI: each device ends up owning
+                   the fully-reduced N/ep block of the node dimension)
+    all_gather    (ring all-gather: every device recovers the full (N, D)
+                   aggregate for the node-level layers that follow)
+
+both of which XLA lowers to bidirectional ring collectives on the ICI
+torus, and which its latency-hiding scheduler overlaps with the adjacent
+edge-MLP compute of neighbouring layers. This is deliberately NOT a
+hand-rolled ppermute loop: on TPU the compiler's ring collectives are the
+speed-of-light implementation, and expressing the exchange as
+reduce-scatter + all-gather (rather than one opaque psum) keeps the two
+halves independently schedulable.
+
+Used by ops/aggregate.py when it detects edge-sharded operands inside a
+manual shard_map region (vma contains "ep"); wired by parallel/spmd.py
+(ep_mode="ring").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EP_AXIS = "ep"
+
+
+def manual_axes(x) -> frozenset:
+    """Mesh axes `x` varies over inside a manual shard_map region."""
+    return frozenset(getattr(jax.typeof(x), "vma", frozenset()) or frozenset())
+
+
+def is_edge_sharded(x) -> bool:
+    """True iff we are inside a manual shard_map region with `x` varying
+    over the ep axis — i.e. the caller holds one edge shard of the batch."""
+    return EP_AXIS in manual_axes(x)
+
+
+def halo_exchange_sum(partial: jax.Array, axis: str = EP_AXIS) -> jax.Array:
+    """Combine per-shard partial segment sums across the ep group.
+
+    partial: (N, ...) per-device partial aggregate; N must be divisible by
+    the ep axis size (BatchSpec alignment guarantees this). Returns the
+    fully-reduced (N, ...) aggregate, identical on every group member.
+    """
+    mine = jax.lax.psum_scatter(partial, axis, scatter_dimension=0, tiled=True)
+    return jax.lax.all_gather(mine, axis, axis=0, tiled=True)

@@ -1,4 +1,4 @@
-"""SPMD multi-chip training step: jax.shard_map over dp, GSPMD over ep.
+"""SPMD multi-chip training step: jax.shard_map over a (dp, ep) mesh.
 
 Design:
 
@@ -11,11 +11,16 @@ Design:
   * DDP averaging is three explicit psums over dp: the gradient of the
     global count-weighted mean loss equals psum(grad(local loss·count)) /
     psum(count) (reference DDP semantics: training/training.py:264-266).
-  * ep stays an *auto* GSPMD axis inside the shard: per-replica edge
-    arrays carry a P('ep') constraint, so the edge/filter MLPs — where
-    the FLOPs are — partition over ep and XLA inserts the psum over ICI
-    for the segment reductions at nodes (edge-partitioned aggregation
-    with compiler-scheduled comm/compute overlap).
+  * ep is edge parallelism over the padded edge slots of each replica's
+    batch. Default ep_mode="ring": ep joins the manual axes, each member
+    owns a contiguous 1/ep slice of the edge slots and runs the
+    edge/filter MLPs — where the FLOPs are — on its shard only; the
+    boundary-node ("halo") partial sums are combined by reduce-scatter +
+    all-gather ring collectives inside every aggregation
+    (parallel/ring.py, ops/aggregate.py), proven grad-exact vs the
+    single-device step in tests/test_ring_ep.py. ep_mode="gspmd" keeps
+    the earlier design: ep stays an *auto* GSPMD axis and per-replica
+    edge arrays carry a P('ep') constraint.
   * BatchNorm runs per-replica (reference DDP uses unsynced per-rank BN);
     running stats are psum-averaged across replicas after the step.
 
@@ -60,8 +65,27 @@ def _edge_ep_hint(batch, mesh: Mesh):
     )
 
 
+def _slice_edge_shard(batch, ep: int):
+    """Keep only this device's 1/ep contiguous slice of the padded edge
+    slots (the ep partition of the edge dimension). Node/graph arrays stay
+    replicated across the ep group; boundary-node partial sums are combined
+    by the halo exchange inside ops/aggregate.py (parallel/ring.py)."""
+    E = batch.num_edges
+    assert E % ep == 0, f"padded edge slots {E} not divisible by ep={ep}"
+    el = E // ep
+    start = jax.lax.axis_index("ep") * el
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, el, axis=0)
+    return batch.replace(
+        edge_src=sl(batch.edge_src),
+        edge_dst=sl(batch.edge_dst),
+        edge_weight=sl(batch.edge_weight),
+        edge_dist_norm=sl(batch.edge_dist_norm),
+        edge_mask=sl(batch.edge_mask),
+    )
+
+
 def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
-                     assemble_fn=None):
+                     assemble_fn=None, ep_mode: str = "ring"):
     """Per-replica step body mapped manually over dp with jax.shard_map.
 
     Design: the per-device program is *structurally identical* to the
@@ -70,8 +94,20 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
     averaging is exact: grad of the global count-weighted mean loss equals
     psum(grad(local_sum)) / psum(count). BatchNorm runs per replica
     (reference DDP uses unsynced per-rank BN); running stats are psum-
-    averaged after the step."""
+    averaged across replicas after the step.
+
+    ep_mode:
+      * "ring" (default): ep joins the manual axes — each ep member owns a
+        1/ep slice of the padded edge slots, runs the edge/filter MLPs on
+        its shard, and boundary-node partials ride the reduce-scatter +
+        all-gather halo exchange (parallel/ring.py).
+      * "gspmd": ep stays an auto GSPMD axis; per-replica edge arrays carry
+        a P('ep') constraint and XLA chooses the collectives.
+    """
     dp = int(mesh.shape["dp"])
+    ep = int(mesh.shape.get("ep", 1))
+    manual_ep = ep > 1 and ep_mode == "ring"
+    axis_names = {"dp", "ep"} if manual_ep else {"dp"}
 
     def body(state: TrainState, data: DeviceDataset, ids, rng):
         ids = ids.reshape(dp, -1)
@@ -81,7 +117,10 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
             batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(
                 data, ids_blk[0]
             )
-            batch = _edge_ep_hint(batch, mesh)
+            if manual_ep:
+                batch = _slice_edge_shard(batch, ep)
+            else:
+                batch = _edge_ep_hint(batch, mesh)
             rng_local = rng_blk[0]
 
             def compute(params):
@@ -101,14 +140,28 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
             (lsum, (cnt, stats)), g = jax.value_and_grad(
                 compute, has_aux=True
             )(state.params)
+            if manual_ep:
+                # lsum is value-identical across the ep group (node/graph
+                # arrays are replicated; the halo exchange restores full
+                # aggregates) but vma-tracked as ep-varying — pmean drops
+                # the axis without changing the value.
+                lsum = jax.lax.pmean(lsum, "ep")
             csum = jnp.maximum(jax.lax.psum(cnt, "dp"), 1.0)
-            # params enter replicated (unvarying over dp): shard_map AD
-            # already psums the cotangent at the broadcast transpose, so
-            # `g` IS the global gradient sum — scale by global count only.
-            grads = jax.tree.map(lambda x: x / csum, g)
+            # params enter replicated (unvarying over dp/ep): shard_map AD
+            # psums the cotangent over every varying axis at the broadcast
+            # transpose, so `g` IS the global gradient sum over dp. Under
+            # manual ep each path additionally carries a uniform ×ep factor:
+            # the all_gather∘psum_scatter transpose pair multiplies edge-path
+            # cotangents by ep, and the ep members' identical node-path
+            # contributions sum to ep× — verified exactly against the
+            # single-device gradient in tests/test_ring_ep.py.
+            gscale = csum * ep if manual_ep else csum
+            grads = jax.tree.map(lambda x: x / gscale, g)
             loss = jax.lax.psum(lsum, "dp") / csum
+            stat_axes = ("dp", "ep") if manual_ep else ("dp",)
+            n_stat = dp * ep if manual_ep else dp
             new_stats = jax.tree.map(
-                lambda s: jax.lax.psum(s, "dp") / dp, stats
+                lambda s: jax.lax.psum(s, stat_axes) / n_stat, stats
             )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
@@ -127,39 +180,42 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
             mesh=mesh,
             in_specs=(P(), P(), P("dp"), P("dp")),
             out_specs=(P(), P(), P()),
-            axis_names={"dp"},
+            axis_names=axis_names,
         )(state, data, ids, rngs)
 
     return body
 
 
 def make_spmd_train_step(model, tx, loss_name: str, spec: BatchSpec, mesh: Mesh,
-                         assemble_fn=None):
+                         assemble_fn=None, ep_mode: str = "ring"):
     """Multi-chip train step, drop-in for the single-device step: takes a
     flat (dp·B,) id vector (reshaped to one (B,) batch per dp replica)."""
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
     body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
-                            assemble_fn)
+                            assemble_fn, ep_mode)
     return jax.jit(body), ids_sharding, rep
 
 
 def make_spmd_train_epoch_fn(model, tx, loss_name: str, spec: BatchSpec,
-                             mesh: Mesh, assemble_fn=None):
+                             mesh: Mesh, assemble_fn=None, ep_mode: str = "ring"):
     """Whole-epoch scan over the SPMD step body (one dispatch per epoch)."""
     from matdeeplearn_tpu.training.train import scan_train_epoch_fn
 
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
     body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
-                            assemble_fn)
+                            assemble_fn, ep_mode)
     return scan_train_epoch_fn(body)
 
 
 def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
-                    assemble_fn=None):
+                    assemble_fn=None, ep_mode: str = "ring"):
     dp = int(mesh.shape["dp"])
+    ep = int(mesh.shape.get("ep", 1))
+    manual_ep = ep > 1 and ep_mode == "ring"
+    axis_names = {"dp", "ep"} if manual_ep else {"dp"}
 
     def body(state: TrainState, data: DeviceDataset, ids):
         ids = ids.reshape(dp, -1)
@@ -168,7 +224,10 @@ def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
             batch = (assemble_fn or (lambda d, i: assemble_batch(d, i, spec)))(
                 data, ids_blk[0]
             )
-            batch = _edge_ep_hint(batch, mesh)
+            if manual_ep:
+                batch = _slice_edge_shard(batch, ep)
+            else:
+                batch = _edge_ep_hint(batch, mesh)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,
@@ -177,6 +236,10 @@ def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
             y = batch.y if out.ndim > 1 else batch.y[:, 0]
             cnt = jnp.sum(batch.graph_mask)
             lsum = loss_fn(out, y, batch.graph_mask) * cnt
+            if manual_ep:
+                # Value-identical across ep; pmean just drops the vma axis.
+                lsum = jax.lax.pmean(lsum, "ep")
+                out = jax.lax.pmean(out, "ep")
             csum = jnp.maximum(jax.lax.psum(cnt, "dp"), 1.0)
             return jax.lax.psum(lsum, "dp") / csum, csum, out
 
@@ -187,28 +250,29 @@ def _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
             mesh=mesh,
             in_specs=(P(), P(), P("dp")),
             out_specs=(P(), P(), P("dp")),
-            axis_names={"dp"},
+            axis_names=axis_names,
         )(state, data, ids)
 
     return body
 
 
 def make_spmd_eval_step(model, loss_name: str, spec: BatchSpec, mesh: Mesh,
-                        assemble_fn=None):
+                        assemble_fn=None, ep_mode: str = "ring"):
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
     return jax.jit(_spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding,
-                                   assemble_fn))
+                                   assemble_fn, ep_mode))
 
 
 def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh,
-                            assemble_fn=None):
+                            assemble_fn=None, ep_mode: str = "ring"):
     from matdeeplearn_tpu.training.train import scan_eval_epoch_fn
 
     loss_fn = get_loss(loss_name)
     ids_sharding = NamedSharding(mesh, P("dp"))
     return scan_eval_epoch_fn(
-        _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding, assemble_fn)
+        _spmd_eval_body(model, loss_fn, spec, mesh, ids_sharding, assemble_fn,
+                        ep_mode)
     )
 
 

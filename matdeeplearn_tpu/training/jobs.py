@@ -241,11 +241,16 @@ def setup_run(
             scan_train_epoch_fn,
         )
 
+        # ep partitioning strategy: "ring" (default) slices the edge slots
+        # 1/ep per device and halo-exchanges boundary-node partials with
+        # reduce-scatter + all-gather (parallel/ring.py); "gspmd" leaves ep
+        # to XLA's auto-partitioner via sharding constraints.
+        ep_mode = str(model_parameters.get("ep_impl", "ring")).lower()
         ids_sh = NamedSharding(mesh, P("dp"))
         train_body = _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sh,
-                                      assemble_fn)
+                                      assemble_fn, ep_mode)
         eval_body = _spmd_eval_body(model, loss_fn, spec, mesh, ids_sh,
-                                    assemble_fn)
+                                    assemble_fn, ep_mode)
         train_step = jax.jit(train_body)
         eval_step = jax.jit(eval_body)
         train_epoch_fn = scan_train_epoch_fn(train_body)
