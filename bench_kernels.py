@@ -26,6 +26,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _best_speedups(results):
+    return {
+        r["edges"]: max(
+            [w["speedup_fwd"] for w in r["windowed"] if w["numerics_ok"]],
+            default=0.0,
+        )
+        for r in results if r["windowed"]
+    }
+
+
+def _write_payload(results, backend, dim, degree):
+    """Write KERNELS.json incrementally (after each size) so a crash or
+    timeout still leaves the measured prefix on disk."""
+    best_speedups = _best_speedups(results)
+    crossover = None
+    for e in sorted(best_speedups):
+        if best_speedups[e] > 1.0:
+            crossover = e
+            break
+    payload = {
+        "backend": backend, "dim": dim, "degree": degree,
+        "results": results,
+        "best_speedup_by_edges": best_speedups,
+        "crossover_edges": crossover,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "KERNELS.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return crossover
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=100)
@@ -62,7 +93,10 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
-    for e_target in (16_384, 32_768, 65_536, 262_144, 1_048_576, 4_194_304):
+    # NOTE: under the axon tunnel every *eager* op round-trips through a
+    # network proxy — all data prep must run inside jit, with host->device
+    # transfers done once per size.
+    for e_target in (8_192, 16_384, 32_768, 65_536, 262_144, 1_048_576):
         n = e_target // degree
         rng = np.random.default_rng(0)
         # dst-sorted edges with ~uniform degree (windowed layout invariant)
@@ -70,55 +104,70 @@ def main():
         msgs = rng.standard_normal((e_target, D)).astype(np.float32)
         mask = np.ones(e_target, np.float32)
 
-        dstj = jnp.asarray(dst)
-        msgsj = jnp.asarray(msgs)
+        dstj = jax.device_put(dst)
+        msgsj = jax.device_put(msgs)
+        maskj = jax.device_put(mask)
 
-        @jax.jit
-        def xla_sum(m, d=dstj, nn=n):
-            return jax.ops.segment_sum(m, d, num_segments=nn)
+        # NB: pass device arrays as ARGUMENTS, never as closure/default-arg
+        # captures — captured arrays become jaxpr constants shipped inside
+        # the remote-compile request (HTTP 413 at 1M edges x dim 100).
+        xla_sum_fn = jax.jit(
+            lambda m, d: jax.ops.segment_sum(m, d, num_segments=n),
+            static_argnames=(),
+        )
+        xla_sum = lambda m: xla_sum_fn(m, dstj)
 
         t_xla = timeit(xla_sum, msgsj, reps=args.reps)
-        want = None
+        want = jax.block_until_ready(xla_sum(msgsj))
         rec = {"edges": e_target, "nodes": n, "dim": D,
                "xla_scatter_ms": t_xla * 1e3, "windowed": []}
+        log(f"E={e_target:>8}: xla fwd {t_xla*1e3:7.2f} ms")
 
-        @jax.jit
-        def xla_grad(m):
-            return jax.grad(lambda mm: xla_sum(mm).sum())(m)
+        xla_grad_fn = jax.jit(
+            lambda m, d: jax.grad(
+                lambda mm: jax.ops.segment_sum(mm, d, num_segments=n).sum()
+            )(m)
+        )
+        rec["xla_scatter_bwd_ms"] = timeit(
+            lambda m: xla_grad_fn(m, dstj), msgsj, reps=args.reps
+        ) * 1e3
 
-        rec["xla_scatter_bwd_ms"] = timeit(xla_grad, msgsj, reps=args.reps) * 1e3
-
-        for tw, te in ((256, 256), (512, 512), (1024, 512), (512, 1024)):
+        for tw, te in ((512, 512), (1024, 512)):
             nw, ew = windowed_sizes(n, e_target, tw, te)
 
-            @jax.jit
-            def make_we(d=dstj, m=jnp.asarray(mask), tw=tw, te=te):
-                return windowize_edges(d, m, n, tw, te)
+            prep = jax.jit(
+                lambda d, m, msg, tw=tw, te=te: (
+                    lambda we: (we, msg[jnp.maximum(we.order, 0)])
+                )(windowize_edges(d, m, n, tw, te))
+            )
+            we, wmsgs = jax.block_until_ready(prep(dstj, maskj, msgsj))
 
-            we = jax.block_until_ready(make_we())
-            wmsgs = jnp.asarray(msgs)[jnp.maximum(we.order, 0)]
-
-            fwd = jax.jit(
-                lambda m, we=we, tw=tw, te=te: windowed_segment_sum(
+            fwd_fn = jax.jit(
+                lambda m, we, tw=tw, te=te: windowed_segment_sum(
                     m, we, n, tw, te, interpret
                 )
             )
-            got = jax.block_until_ready(fwd(wmsgs))
-            if want is None:
-                want = jax.block_until_ready(xla_sum(msgsj))
-            err = float(jnp.max(jnp.abs(got - want)))
-            scale = float(jnp.max(jnp.abs(want))) or 1.0
+            fwd = lambda m: fwd_fn(m, we)
+            got = fwd(wmsgs)
+
+            @jax.jit
+            def check(a, b):
+                scale = jnp.maximum(jnp.max(jnp.abs(b)), 1.0)
+                return jnp.max(jnp.abs(a - b)), scale
+
+            err_d, scale_d = jax.block_until_ready(check(got, want))
+            err, scale = float(err_d), float(scale_d)
             ok = err <= 1e-3 * scale
             t_fwd = timeit(fwd, wmsgs, reps=args.reps)
 
-            bwd = jax.jit(
-                lambda m, we=we, tw=tw, te=te: jax.grad(
+            bwd_fn = jax.jit(
+                lambda m, we, tw=tw, te=te: jax.grad(
                     lambda mm: windowed_segment_sum(
                         mm, we, n, tw, te, interpret
                     ).sum()
                 )(m)
             )
-            t_bwd = timeit(bwd, wmsgs, reps=args.reps)
+            t_bwd = timeit(lambda m: bwd_fn(m, we), wmsgs, reps=args.reps)
 
             rec["windowed"].append({
                 "tw": tw, "te": te, "ew": ew,
@@ -130,29 +179,10 @@ def main():
                 f"pallas fwd {t_fwd*1e3:7.2f} ms (x{t_xla/t_fwd:4.2f}), "
                 f"bwd {t_bwd*1e3:7.2f} ms, ok={ok} err={err:.2e}")
         results.append(rec)
+        crossover = _write_payload(results, backend, D, degree)
 
-    best_speedups = {
-        r["edges"]: max(
-            [w["speedup_fwd"] for w in r["windowed"] if w["numerics_ok"]],
-            default=0.0,
-        )
-        for r in results if r["windowed"]
-    }
-    crossover = None
-    for e in sorted(best_speedups):
-        if best_speedups[e] > 1.0:
-            crossover = e
-            break
-    payload = {
-        "backend": backend, "dim": D, "degree": degree,
-        "results": results,
-        "best_speedup_by_edges": best_speedups,
-        "crossover_edges": crossover,
-    }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "KERNELS.json")
-    with open(path, "w") as f:
-        json.dump(payload, f, indent=2)
-    log(f"wrote {path}; crossover={crossover}")
+    log(f"done; crossover={crossover}")
+    best_speedups = _best_speedups(results)
     print(json.dumps({"metric": "pallas_best_speedup_1M_edges",
                       "value": round(best_speedups.get(1_048_576, 0.0), 3),
                       "unit": "x_vs_xla_scatter"}))

@@ -124,8 +124,11 @@ class GCNConv(nn.Module):
         norm = dis[batch.edge_src] * ew * dis[batch.edge_dst_safe]
         h = Linear(self.dim, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin")(x)
-        msg = norm[:, None] * h[batch.edge_src]
-        out = edge_aggregate(msg, batch, reduce="sum")
+        # Fused SpMM: norm folds into the aggregation kernel (windowed path
+        # multiplies on the VPU inside ops/pallas_segment.py:windowed_spmm —
+        # the scaled messages never hit HBM).
+        out = edge_aggregate(h[batch.edge_src], batch, reduce="sum",
+                             weights=norm)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         return out + bias
 

@@ -28,11 +28,17 @@ def _ring():
     return ring
 
 
-def edge_aggregate(messages, batch, reduce: str = "sum"):
+def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
     """Aggregate per-edge `messages` (E, D) at destination nodes → (N, D).
 
     reduce: "sum" | "mean" (mean divides by the true in-degree, matching
     torch_scatter's aggr="mean" with our always-present self-loops).
+
+    weights: optional (E,) per-edge scalars folded into the reduction —
+    out[n] = Σ w[e]·msg[e]. On the windowed path this is a fused SpMM
+    (ops/pallas_segment.py:windowed_spmm): the multiply rides the kernel's
+    VPU, so the scaled messages never round-trip through HBM. Used by
+    GCN's normalized aggregation (the torch_sparse SpMM role).
     """
     n = batch.num_nodes
     ring = _ring()
@@ -40,6 +46,8 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
         # Edge-partitioned path: local partial reduction, then halo exchange.
         # (Windowed layouts are never edge-sharded — jobs.py keeps the Pallas
         # kernel single-shard.)
+        if weights is not None:
+            messages = messages * weights[:, None]
         total = segment.segment_sum(
             messages, batch.edge_dst_safe, num_segments=n, mask=batch.edge_mask
         )
@@ -60,6 +68,8 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
             # trips a jax-0.9 lowering-cache bug; run the (numerically
             # identical) masked XLA reduction on the windowed layout there.
             # Real TPU always takes the kernel below.
+            if weights is not None:
+                messages = messages * weights[:, None]
             out = segment.segment_sum(
                 messages, jnp.maximum(batch.edge_dst, 0),
                 num_segments=n, mask=batch.edge_mask,
@@ -73,9 +83,14 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
                 first_tile=batch.tile_first,
                 valid=batch.edge_mask,
             )
-            out = PS.windowed_segment_sum(
-                messages, we, n, batch.window_size, te, interpret
-            )
+            if weights is not None:
+                out = PS.windowed_spmm(
+                    weights, messages, we, n, batch.window_size, te, interpret
+                )
+            else:
+                out = PS.windowed_segment_sum(
+                    messages, we, n, batch.window_size, te, interpret
+                )
         # Windows with no tiles (pad node region) are never written by the
         # kernel; mask them off so downstream masked reductions stay finite.
         out = jnp.where(batch.node_mask[:, None] > 0, out, 0.0)
@@ -83,6 +98,8 @@ def edge_aggregate(messages, batch, reduce: str = "sum"):
             out = out / jnp.maximum(batch.in_degree, 1.0)[:, None]
         return out
 
+    if weights is not None:
+        messages = messages * weights[:, None]
     if reduce == "mean":
         return segment.segment_mean(
             messages, batch.edge_dst, num_segments=n, mask=batch.edge_mask

