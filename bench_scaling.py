@@ -153,18 +153,23 @@ def main():
         "",
         "Virtual devices share the host's cores, so dp cannot reduce "
         "wall-clock here; the metric that matters is **partition overhead** "
-        "T_spmd/T_single at the same global batch — near 1.0 means GSPMD "
-        "introduced no pathological collectives/layouts and each replica "
-        "owns 1/dp of the work on real multi-chip hardware.",
+        "T_spmd/T_single at the same global batch — near 1.0 means the "
+        "partitioning introduced no pathological collectives/layouts and "
+        "each replica owns 1/dp of the work on real multi-chip hardware.",
         "",
-        "| dp | ep | ms/step | edges/s | overhead vs single |",
-        "|---|---|---|---|---|",
+        "ep modes: `ring` = manual edge shards + reduce-scatter/all-gather "
+        "halo exchange (parallel/ring.py, the default); `gspmd` = XLA "
+        "auto-partitioning from sharding constraints.",
+        "",
+        "| dp | ep | mode | ms/step | edges/s | overhead vs single |",
+        "|---|---|---|---|---|---|",
     ]
     for r in results:
         ov = ("—" if r["mode"] == "single"
               else f"x{r['overhead_vs_single']:.2f}")
         lines.append(
-            f"| {r['dp']} | {r['ep']} | {r['sec_per_step']*1e3:.1f} | "
+            f"| {r['dp']} | {r['ep']} | {r['mode']} | "
+            f"{r['sec_per_step']*1e3:.1f} | "
             f"{r['edges_per_s']:,.0f} | {ov} |"
         )
     with open("SCALING.md", "w") as f:
