@@ -276,17 +276,25 @@ def make_spmd_eval_epoch_fn(model, loss_name: str, spec: BatchSpec, mesh: Mesh,
     )
 
 
-def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):
+def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh,
+                               ep_mode: str = "ring"):
     """SPMD step over a host-fed batch pytree with a leading (dp, ...) axis
     (streaming datasets: the dataset never enters HBM, so each step receives
     dp stacked per-replica batches sharded over the dp axis). Semantics match
     _spmd_train_body: per-replica BN, count-weighted global mean loss ⇒
-    jax.grad gives the DDP-averaged gradient."""
+    jax.grad gives the DDP-averaged gradient; under ep>1 with
+    ep_mode="ring" each ep member takes a 1/ep edge-slot slice of its
+    replica's batch and aggregations halo-exchange (parallel/ring.py)."""
     loss_fn = get_loss(loss_name)
     dp = int(mesh.shape["dp"])
+    ep = int(mesh.shape.get("ep", 1))
+    manual_ep = ep > 1 and ep_mode == "ring"
+    axis_names = {"dp", "ep"} if manual_ep else {"dp"}
 
     def shard_fn(state, batch, rng_blk):
         b = jax.tree.map(lambda x: x[0], batch)
+        if manual_ep:
+            b = _slice_edge_shard(b, ep)
         rng_local = rng_blk[0]
 
         def compute(params):
@@ -306,12 +314,20 @@ def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):
         (lsum, (cnt, stats)), g = jax.value_and_grad(
             compute, has_aux=True
         )(state.params)
+        if manual_ep:
+            lsum = jax.lax.pmean(lsum, "ep")
         csum = jnp.maximum(jax.lax.psum(cnt, "dp"), 1.0)
         # shard_map AD psums the cotangent of the replicated params at the
-        # broadcast transpose: `g` is already the global sum.
-        grads = jax.tree.map(lambda x: x / csum, g)
+        # broadcast transpose: `g` is already the global sum (uniform ×ep
+        # under manual ep — see _spmd_train_body).
+        gscale = csum * ep if manual_ep else csum
+        grads = jax.tree.map(lambda x: x / gscale, g)
         loss = jax.lax.psum(lsum, "dp") / csum
-        new_stats = jax.tree.map(lambda s: jax.lax.psum(s, "dp") / dp, stats)
+        stat_axes = ("dp", "ep") if manual_ep else ("dp",)
+        n_stat = dp * ep if manual_ep else dp
+        new_stats = jax.tree.map(
+            lambda s: jax.lax.psum(s, stat_axes) / n_stat, stats
+        )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(
@@ -327,7 +343,7 @@ def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P("dp"), P("dp")),
         out_specs=(P(), P(), P()),
-        axis_names={"dp"},
+        axis_names=axis_names,
     )
 
     @jax.jit
@@ -337,13 +353,19 @@ def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh):
     return step
 
 
-def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh):
+def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh,
+                              ep_mode: str = "ring"):
     """Eval analog of make_spmd_batch_train_step; outputs are flattened
     row-major over (dp, B) = original global id order."""
     loss_fn = get_loss(loss_name)
+    ep = int(mesh.shape.get("ep", 1))
+    manual_ep = ep > 1 and ep_mode == "ring"
+    axis_names = {"dp", "ep"} if manual_ep else {"dp"}
 
     def shard_fn(state, batch):
         b = jax.tree.map(lambda x: x[0], batch)
+        if manual_ep:
+            b = _slice_edge_shard(b, ep)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             b,
@@ -352,6 +374,9 @@ def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh):
         y = b.y if out.ndim > 1 else b.y[:, 0]
         cnt = jnp.sum(b.graph_mask)
         lsum = loss_fn(out, y, b.graph_mask) * cnt
+        if manual_ep:
+            lsum = jax.lax.pmean(lsum, "ep")
+            out = jax.lax.pmean(out, "ep")
         csum = jnp.maximum(jax.lax.psum(cnt, "dp"), 1.0)
         return jax.lax.psum(lsum, "dp") / csum, csum, out
 
@@ -360,7 +385,7 @@ def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P("dp")),
         out_specs=(P(), P(), P("dp")),
-        axis_names={"dp"},
+        axis_names=axis_names,
     ))
 
 

@@ -245,18 +245,20 @@ def setup_run(
     if is_stream and mesh is not None:
         # Streaming × SPMD: host assembles dp per-replica batches per step,
         # stacked and placed with a P('dp') sharding (ShardedStream); the
-        # step is the batch-fed SPMD variant. The ep axis is unused here —
-        # edge arrays arrive per-replica from the host.
+        # step is the batch-fed SPMD variant. ep>1 with ep_impl=ring slices
+        # each replica's edge slots on device (halo exchange in ops).
         from matdeeplearn_tpu.parallel.spmd import (
             ShardedStream,
             make_spmd_batch_eval_step,
             make_spmd_batch_train_step,
         )
 
+        ep_mode = str(model_parameters.get("ep_impl", "ring")).lower()
         dataset = ShardedStream(dataset, mesh)
         train_body = eval_body = None
-        train_step = make_spmd_batch_train_step(model, tx, loss, mesh)
-        eval_step = make_spmd_batch_eval_step(model, loss, mesh)
+        train_step = make_spmd_batch_train_step(model, tx, loss, mesh,
+                                                ep_mode)
+        eval_step = make_spmd_batch_eval_step(model, loss, mesh, ep_mode)
         train_epoch_fn = eval_epoch_fn = None
     elif mesh is not None:
         from functools import partial as _partial
