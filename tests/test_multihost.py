@@ -1,0 +1,86 @@
+"""Multi-host initialization gating (parallel/mesh.py).
+
+Real DCN rendezvous needs multiple processes; these tests pin the
+process-count>1 code paths — env gating, rendezvous wiring, and failure
+fallback — with a mocked jax.distributed (VERDICT r1 row 48)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from matdeeplearn_tpu.parallel import make_mesh, maybe_initialize_distributed
+
+
+_COORD_KEYS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean_env(monkeypatch):
+    for k in _COORD_KEYS:
+        monkeypatch.delenv(k, raising=False)
+    yield
+
+
+def test_no_coordination_env_is_noop(monkeypatch):
+    """Single-host runs must never attempt a rendezvous."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    assert maybe_initialize_distributed(verbose=False) is False
+    assert not calls
+
+
+@pytest.mark.parametrize("key", _COORD_KEYS)
+def test_coordination_env_triggers_initialize(monkeypatch, capsys, key):
+    monkeypatch.setenv(key, "10.0.0.1:8476")
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    monkeypatch.setattr(jax, "process_count", lambda: 16)
+    assert maybe_initialize_distributed(verbose=True) is True
+    assert calls == [1]
+    out = capsys.readouterr().out
+    assert "process 3/16" in out
+
+
+def test_rendezvous_failure_falls_back_to_single_host(monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+
+    def boom(*a, **k):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert maybe_initialize_distributed(verbose=False) is False
+
+
+def test_mesh_layout_puts_ep_innermost():
+    """make_mesh must lay ep within a host's device block (contiguous,
+    fastest-varying) so the halo exchange rides ICI while dp spans the
+    DCN axis on pods — the (dp, ep) reshape guarantees it."""
+    devices = jax.devices()[:8]
+    mesh = make_mesh(dp=4, ep=2, devices=devices)
+    arr = np.asarray(mesh.devices)
+    assert arr.shape == (4, 2)
+    # row-major: ep neighbors are adjacent device ids (ICI-near on real
+    # hardware where device order follows the torus)
+    flat = [d.id for d in arr.ravel()]
+    assert flat == [d.id for d in devices]
+
+
+def test_every_process_passes_identical_ids_contract():
+    """Multi-controller contract: each process feeds the SAME flat id
+    vector; the P('dp') in_spec then gives every replica its slice. Pinned
+    here via shard_ids determinism."""
+    from matdeeplearn_tpu.parallel import shard_ids
+
+    ids = np.arange(16, dtype=np.int32)
+    a = shard_ids(ids, 4)
+    b = shard_ids(ids.copy(), 4)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (4, 4)
