@@ -135,7 +135,12 @@ class GraphDataset:
             object.__setattr__(self, "_windowed_memo", {})
         ncounts = self.node_counts()
         if tw is None:
-            tw = int(min(128, max(8, W.round_up(
+            # Window = 95th-pctile structure size (aligned), capped at 512:
+            # bigger windows mean bigger one-hot MXU tiles (KERNELS.md —
+            # the kernel's advantage needs tw>=~256), while node blocks
+            # align to tw so oversized windows waste node padding on small
+            # structures.
+            tw = int(min(512, max(8, W.round_up(
                 int(np.percentile(ncounts, 95)) if len(ncounts) else 8, 8))))
         key = (tw, te)
         if key in self._windowed_memo:

@@ -83,13 +83,15 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
                 first_tile=batch.tile_first,
                 valid=batch.edge_mask,
             )
+            hilo = not batch.kernel_bf16
             if weights is not None:
                 out = PS.windowed_spmm(
-                    weights, messages, we, n, batch.window_size, te, interpret
+                    weights, messages, we, n, batch.window_size, te, interpret,
+                    hilo,
                 )
             else:
                 out = PS.windowed_segment_sum(
-                    messages, we, n, batch.window_size, te, interpret
+                    messages, we, n, batch.window_size, te, interpret, hilo
                 )
         # Windows with no tiles (pad node region) are never written by the
         # kernel; mask them off so downstream masked reductions stay finite.

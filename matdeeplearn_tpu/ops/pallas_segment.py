@@ -141,7 +141,8 @@ def _hilo(v):
     return hi, v - hi
 
 
-def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te):
+def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te,
+                    hilo=True):
     t = pl.program_id(0)
 
     @pl.when(first_ref[t] == 1)
@@ -152,19 +153,26 @@ def _seg_sum_kernel(wid_ref, first_ref, dst_ref, msg_ref, out_ref, *, tw, te):
     local = dst_ref[:] - base                       # (TE, 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
     onehot = (local == rows).astype(jnp.float32)    # (TE, TW)
-    hi, lo = _hilo(msg_ref[:])
     dn = (((0,), (0,)), ((), ()))
-    out_ref[:] += jax.lax.dot_general(
-        onehot, hi, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        onehot, lo, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
+    if hilo:
+        hi, lo = _hilo(msg_ref[:])
+        out_ref[:] += jax.lax.dot_general(
+            onehot, hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            onehot, lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # single-pass: messages truncate to bf16 on the MXU (~2e-3 relative)
+        out_ref[:] += jax.lax.dot_general(
+            onehot, msg_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _seg_sum_weighted_kernel(wid_ref, first_ref, dst_ref, w_ref, msg_ref,
-                             out_ref, *, tw, te):
+                             out_ref, *, tw, te, hilo=True):
     """Weighted segment-sum: out[n] = Σ_e w[e]·msg[e] — a true SpMM
     (A_norm @ X with A's nonzeros = w) for GCN's normalized aggregation.
     The weight multiply happens on the VPU inside the kernel, so the
@@ -180,27 +188,39 @@ def _seg_sum_weighted_kernel(wid_ref, first_ref, dst_ref, w_ref, msg_ref,
     local = dst_ref[:] - base
     rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
     onehot = (local == rows).astype(jnp.float32)
-    hi, lo = _hilo(msg_ref[:] * w_ref[:])
     dn = (((0,), (0,)), ((), ()))
-    out_ref[:] += jax.lax.dot_general(
-        onehot, hi, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        onehot, lo, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
+    scaled = msg_ref[:] * w_ref[:]
+    if hilo:
+        hi, lo = _hilo(scaled)
+        out_ref[:] += jax.lax.dot_general(
+            onehot, hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            onehot, lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out_ref[:] += jax.lax.dot_general(
+            onehot, scaled, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
 
 
-def _gather_kernel(wid_ref, first_ref, dst_ref, x_ref, out_ref, *, tw, te):
+def _gather_kernel(wid_ref, first_ref, dst_ref, x_ref, out_ref, *, tw, te,
+                   hilo=True):
     base = wid_ref[pl.program_id(0)] * tw
     local = dst_ref[:] - base
     rows = jax.lax.broadcasted_iota(jnp.int32, (te, tw), 1)
     onehot = (local == rows).astype(jnp.float32)
-    hi, lo = _hilo(x_ref[:])
-    out_ref[:] = (
-        jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
-    )
+    if hilo:
+        hi, lo = _hilo(x_ref[:])
+        out_ref[:] = (
+            jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+        )
+    else:
+        out_ref[:] = jnp.dot(onehot, x_ref[:],
+                             preferred_element_type=jnp.float32)
 
 
 def _out_struct(shape, *operands):
@@ -217,7 +237,7 @@ def _out_struct(shape, *operands):
 
 
 def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
-                               interpret):
+                               interpret, hilo=True):
     ew, d = messages.shape
     t = ew // te
     n_pad = round_up(num_nodes, tw)
@@ -233,7 +253,7 @@ def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
         ),
     )
     out = pl.pallas_call(
-        partial(_seg_sum_kernel, tw=tw, te=te),
+        partial(_seg_sum_kernel, tw=tw, te=te, hilo=hilo),
         out_shape=_out_struct((n_pad, d), messages, we.dst, we.window_id),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -242,7 +262,7 @@ def _windowed_segment_sum_impl(messages, we: WindowedEdges, num_nodes, tw, te,
 
 
 def _windowed_spmm_impl(weights, messages, we: WindowedEdges, num_nodes, tw,
-                        te, interpret):
+                        te, interpret, hilo=True):
     ew, d = messages.shape
     t = ew // te
     n_pad = round_up(num_nodes, tw)
@@ -259,7 +279,7 @@ def _windowed_spmm_impl(weights, messages, we: WindowedEdges, num_nodes, tw,
         ),
     )
     out = pl.pallas_call(
-        partial(_seg_sum_weighted_kernel, tw=tw, te=te),
+        partial(_seg_sum_weighted_kernel, tw=tw, te=te, hilo=hilo),
         out_shape=_out_struct((n_pad, d), messages, weights, we.dst,
                               we.window_id),
         grid_spec=grid_spec,
@@ -268,7 +288,7 @@ def _windowed_spmm_impl(weights, messages, we: WindowedEdges, num_nodes, tw,
     return out[:num_nodes]
 
 
-def _windowed_gather_impl(x, we: WindowedEdges, tw, te, interpret):
+def _windowed_gather_impl(x, we: WindowedEdges, tw, te, interpret, hilo=True):
     n, d = x.shape
     ew = we.dst.shape[0]
     t = ew // te
@@ -285,7 +305,7 @@ def _windowed_gather_impl(x, we: WindowedEdges, tw, te, interpret):
         out_specs=pl.BlockSpec((te, d), lambda i, wid, first: (i, 0)),
     )
     return pl.pallas_call(
-        partial(_gather_kernel, tw=tw, te=te),
+        partial(_gather_kernel, tw=tw, te=te, hilo=hilo),
         out_shape=_out_struct((ew, d), x, we.dst, we.window_id),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -295,35 +315,36 @@ def _windowed_gather_impl(x, we: WindowedEdges, tw, te, interpret):
 # ------------------------------------------------------- public, with VJP
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def windowed_segment_sum(messages, we: WindowedEdges, num_nodes: int,
                          tw: int = DEFAULT_TW, te: int = DEFAULT_TE,
-                         interpret: bool = False):
+                         interpret: bool = False, hilo: bool = True):
     """out[n] = Σ_{e: dst[e]==n} messages[e] over the windowed layout.
 
     messages: (EW, D) float32 in windowed order (pad slots may hold
     arbitrary values — dst=-1 excludes them). Returns (num_nodes, D).
     """
-    return _windowed_segment_sum_impl(messages, we, num_nodes, tw, te, interpret)
-
-
-def _wss_fwd(messages, we, num_nodes, tw, te, interpret):
     return _windowed_segment_sum_impl(messages, we, num_nodes, tw, te,
-                                      interpret), we
+                                      interpret, hilo)
 
 
-def _wss_bwd(num_nodes, tw, te, interpret, we, g):
+def _wss_fwd(messages, we, num_nodes, tw, te, interpret, hilo):
+    return _windowed_segment_sum_impl(messages, we, num_nodes, tw, te,
+                                      interpret, hilo), we
+
+
+def _wss_bwd(num_nodes, tw, te, interpret, hilo, we, g):
     # d messages[e] = g[dst[e]] — the windowed gather, on the MXU too.
-    return (_windowed_gather_impl(g, we, tw, te, interpret), None)
+    return (_windowed_gather_impl(g, we, tw, te, interpret, hilo), None)
 
 
 windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def windowed_spmm(weights, messages, we: WindowedEdges, num_nodes: int,
                   tw: int = DEFAULT_TW, te: int = DEFAULT_TE,
-                  interpret: bool = False):
+                  interpret: bool = False, hilo: bool = True):
     """out[n] = Σ_{e: dst[e]==n} weights[e]·messages[e] — sparse-matrix ×
     dense-matrix product with the edge weights as A's nonzeros, fused into
     one MXU pass (the torch_sparse SpMM role, reference README.md:33; used
@@ -333,20 +354,20 @@ def windowed_spmm(weights, messages, we: WindowedEdges, num_nodes: int,
     excludes them). messages: (EW, D). Returns (num_nodes, D).
     """
     return _windowed_spmm_impl(weights, messages, we, num_nodes, tw, te,
-                               interpret)
+                               interpret, hilo)
 
 
-def _wspmm_fwd(weights, messages, we, num_nodes, tw, te, interpret):
+def _wspmm_fwd(weights, messages, we, num_nodes, tw, te, interpret, hilo):
     out = _windowed_spmm_impl(weights, messages, we, num_nodes, tw, te,
-                              interpret)
+                              interpret, hilo)
     return out, (weights, messages, we)
 
 
-def _wspmm_bwd(num_nodes, tw, te, interpret, res, g):
+def _wspmm_bwd(num_nodes, tw, te, interpret, hilo, res, g):
     weights, messages, we = res
     # gg[e] = g[dst[e]] (windowed MXU gather), then
     # d messages = w·gg, d weights = <messages, gg> rowwise.
-    gg = _windowed_gather_impl(g, we, tw, te, interpret)
+    gg = _windowed_gather_impl(g, we, tw, te, interpret, hilo)
     d_msg = gg * weights[:, None]
     d_w = jnp.sum(messages * gg, axis=-1)
     return (d_w, d_msg, None)
@@ -355,20 +376,22 @@ def _wspmm_bwd(num_nodes, tw, te, interpret, res, g):
 windowed_spmm.defvjp(_wspmm_fwd, _wspmm_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def windowed_gather(x, we: WindowedEdges, tw: int = DEFAULT_TW,
-                    te: int = DEFAULT_TE, interpret: bool = False):
+                    te: int = DEFAULT_TE, interpret: bool = False,
+                    hilo: bool = True):
     """out[e] = x[dst[e]] (zeros on pad slots) over the windowed layout."""
-    return _windowed_gather_impl(x, we, tw, te, interpret)
+    return _windowed_gather_impl(x, we, tw, te, interpret, hilo)
 
 
-def _wg_fwd(x, we, tw, te, interpret):
-    return _windowed_gather_impl(x, we, tw, te, interpret), (we, x.shape[0])
+def _wg_fwd(x, we, tw, te, interpret, hilo):
+    return _windowed_gather_impl(x, we, tw, te, interpret, hilo), (we, x.shape[0])
 
 
-def _wg_bwd(tw, te, interpret, res, g):
+def _wg_bwd(tw, te, interpret, hilo, res, g):
     we, n = res
-    return (_windowed_segment_sum_impl(g, we, n, tw, te, interpret), None)
+    return (_windowed_segment_sum_impl(g, we, n, tw, te, interpret, hilo),
+            None)
 
 
 windowed_gather.defvjp(_wg_fwd, _wg_bwd)

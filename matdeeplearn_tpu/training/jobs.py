@@ -141,7 +141,14 @@ def setup_run(
             assemble_batch_windowed,
         )
 
-        layout = dataset.windowed_layout()
+        # kernel_tw/kernel_te: optional tiling overrides (window node rows /
+        # edge-tile rows) for the windowed layout — tuning knobs surfaced
+        # from bench_kernels measurements.
+        layout = dataset.windowed_layout(
+            tw=(int(model_parameters["kernel_tw"])
+                if model_parameters.get("kernel_tw") else None),
+            te=int(model_parameters.get("kernel_te", 128) or 128),
+        )
         tw, te = layout.tw, layout.te
         spec = BatchSpec.for_dataset(
             layout.node_counts_w, layout.wedge_counts, bs,
@@ -150,8 +157,12 @@ def setup_run(
         data = DeviceDataset.from_graph_dataset(dataset).replace(
             windowed=WindowedDeviceData.from_layout(layout)
         )
+        # kernel_precision: "f32" (hi/lo split, default) | "bf16" (single
+        # MXU pass, ~2e-3 relative error — half the kernel's matmul work)
+        kbf16 = (str(model_parameters.get("kernel_precision", "f32")).lower()
+                 == "bf16")
         assemble_fn = lambda d, i: assemble_batch_windowed(
-            d, d.windowed, i, spec, tw, te
+            d, d.windowed, i, spec, tw, te, bf16=kbf16
         )
     elif is_stream:
         spec = BatchSpec.for_dataset(

@@ -203,3 +203,29 @@ def test_gcn_windowed_weighted_path_matches_xla_path(toy_dataset):
     np.testing.assert_allclose(
         np.asarray(got)[:B], np.asarray(ref)[:B], atol=2e-4, rtol=2e-4
     )
+
+
+def test_windowed_segment_sum_bf16_mode(rng):
+    """Single-pass bf16 aggregation (kernel_precision: "bf16"): half the
+    MXU work, bounded relative error vs the f32 reference."""
+    e, n, d, tw, te = 512, 200, 32, 16, 64
+    dst = _sorted_edges(rng, e, n)
+    mask = np.ones(e, np.float32)
+    msgs = rng.standard_normal((e, d)).astype(np.float32)
+
+    want = jax.ops.segment_sum(
+        jnp.asarray(msgs), jnp.asarray(dst), num_segments=n
+    )
+    we = PS.windowize_edges(jnp.asarray(dst), jnp.asarray(mask), n, tw, te)
+    wmsgs = jnp.asarray(msgs)[we.order]
+    got = PS.windowed_segment_sum(wmsgs, we, n, tw, te, True, False)
+    scale = float(jnp.max(jnp.abs(want)))
+    err = float(jnp.max(jnp.abs(got - want)))
+    # bf16-class bound; in interpret mode the dot is exact f32 (the
+    # truncation is an MXU hardware behavior), on TPU err lands ~2e-3·scale
+    assert err <= 1e-2 * scale
+
+    # VJP stays wired in bf16 mode
+    g = jax.grad(lambda m: PS.windowed_segment_sum(
+        m, we, n, tw, te, True, False).sum())(wmsgs)
+    assert np.isfinite(np.asarray(g)).all()
