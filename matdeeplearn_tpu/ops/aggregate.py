@@ -2,9 +2,10 @@
 
 Single entry point used by every conv primitive. When the batch carries
 the graph-aligned windowed layout (data/batching.py:assemble_batch_windowed)
-the reduction runs as one-hot MXU matmuls (ops/pallas_segment.py, ~3.5x
-faster than XLA's scatter at production edge counts, backward included via
-custom VJP); otherwise it falls back to the masked XLA segment ops.
+the reduction runs as one-hot MXU matmuls (ops/pallas_segment.py — x1.6-2.8
+faster than XLA's scatter in isolation at 262k-1M edges on v5e, but
+measured slower end-to-end in fused training; see KERNELS.md, so the
+windowed path is an explicit opt-in). Default: masked XLA segment ops.
 
 Inside a manual shard_map region where the batch's edge arrays are sharded
 over the ep mesh axis (parallel/spmd.py ep_mode="ring"), each device reduces

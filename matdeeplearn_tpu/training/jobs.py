@@ -33,37 +33,6 @@ from matdeeplearn_tpu.utils.results import write_results
 from matdeeplearn_tpu.utils.summary import model_summary
 
 
-_KERNEL_THRESHOLD_DEFAULT = 16384
-_kernel_threshold_cache: list = []
-
-
-def _auto_kernel_threshold() -> float:
-    """Per-batch edge count above which kernel=auto engages the windowed
-    Pallas aggregation. Calibrated from KERNELS.json (written by
-    bench_kernels.py on real TPU: the smallest edge count where the kernel
-    beat XLA's scatter — measured ×1.3–1.7 faster at every size ≥8k on
-    v5e); falls back to a measured-safe default when no artifact exists."""
-    if _kernel_threshold_cache:
-        return _kernel_threshold_cache[0]
-    thr = float(_KERNEL_THRESHOLD_DEFAULT)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "KERNELS.json",
-    )
-    try:
-        import json
-
-        with open(path) as f:
-            payload = json.load(f)
-        cross = payload.get("crossover_edges")
-        if cross:
-            thr = float(cross)
-    except (OSError, ValueError):
-        pass
-    _kernel_threshold_cache.append(thr)
-    return thr
-
-
 @dataclass
 class Run:
     """Everything needed to train/evaluate one model on one dataset."""
@@ -115,9 +84,7 @@ def setup_run(
     ep = int(mesh.shape["ep"]) if mesh is not None else 1
 
     # Aggregation kernel selection: "pallas" forces the windowed MXU
-    # segment-sum, "xla" the scatter path; "auto" enables Pallas on TPU for
-    # message-passing models once the per-batch edge count is large enough
-    # for the scatter to dominate (see ops/pallas_segment.py).
+    # segment-sum, "xla"/"auto" take the XLA scatter path (see below).
     from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
 
     is_stream = isinstance(dataset, StreamingGraphDataset)
@@ -128,12 +95,15 @@ def setup_run(
     # device, so pallas_call needs no vmap/GSPMD lowering). ep>1 shards
     # the edge dim, which conflicts with the kernel's manual layout.
     eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
-    edges_per_batch = float(np.mean(dataset.edge_counts())) * bs if len(dataset) else 0
-    use_windowed = eligible and (
-        kernel == "pallas"
-        or (kernel == "auto" and jax.default_backend() == "tpu"
-            and edges_per_batch >= _auto_kernel_threshold())
-    )
+    # Measured verdict (KERNELS.md): the windowed kernel beats XLA's scatter
+    # in isolation (x1.6-2.8 at 262k-1M edges on v5e) but loses END-TO-END
+    # in fused training on every workload tried (x0.84 small-graph bulk,
+    # x0.69 large-structure) — the windowed layout's extra padded slots run
+    # through every conv MLP and the opaque pallas_call blocks XLA's
+    # cross-op scheduling. So "auto" takes the XLA path; "pallas" remains a
+    # fully-tested explicit opt-in (with kernel_tw/kernel_te/
+    # kernel_precision tuning knobs) for workloads that prove out.
+    use_windowed = eligible and kernel == "pallas"
 
     if use_windowed:
         from matdeeplearn_tpu.data.batching import (
