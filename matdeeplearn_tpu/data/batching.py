@@ -260,6 +260,9 @@ class WindowedDeviceData(struct.PyTreeNode):
     tile_counts: jax.Array   # (G,) int32
     node_counts_w: jax.Array  # (G,) int32 window-padded node counts
     in_degree: jax.Array     # (N_tot,) float32
+    wsrc: jax.Array | None = None     # (EW_tot,) int32 pre-permuted src
+    wweight: jax.Array | None = None  # (EW_tot,) float32 pre-permuted weight
+    wdist: jax.Array | None = None    # (EW_tot,) float32 pre-permuted dist
 
     @classmethod
     def from_layout(cls, layout) -> "WindowedDeviceData":
@@ -267,6 +270,9 @@ class WindowedDeviceData(struct.PyTreeNode):
             worder=jnp.asarray(layout.worder, jnp.int32),
             wvalid=jnp.asarray(layout.wvalid, jnp.float32),
             wdst=jnp.asarray(layout.wdst, jnp.int32),
+            wsrc=jnp.asarray(layout.wsrc, jnp.int32),
+            wweight=jnp.asarray(layout.wweight, jnp.float32),
+            wdist=jnp.asarray(layout.wdist, jnp.float32),
             wedge_ptr=jnp.asarray(layout.wedge_ptr, jnp.int32),
             wedge_counts=jnp.asarray(layout.wedge_counts, jnp.int32),
             tile_window=jnp.asarray(layout.tile_window, jnp.int32),
@@ -331,14 +337,15 @@ def assemble_batch_windowed(
     elocal = eslot - edge_off[eg_safe]
     wslot = jnp.where(e_in_range, wdata.wedge_ptr[ids[eg_safe]] + elocal, 0)
     edge_valid = e_in_range & (wdata.wvalid[wslot] > 0)
-    # graph-local edge index → global edge index in the base arrays
-    ge = data.edge_ptr[ids[eg_safe]] + wdata.worder[wslot]
-    ge = jnp.where(edge_valid, ge, 0)
-    esrc = jnp.where(edge_valid, data.edge_src[ge] + node_off_w[eg_safe], 0)
+    # one-hop gathers from the pre-permuted windowed arrays (wsrc/wweight/
+    # wdist baked at layout build) — the earlier slot→worder→base double
+    # indirection measured 23 ms/step at bulk scale vs 9 ms for the plain
+    # assembler; this removes 3 of its 6 per-edge gathers
+    esrc = jnp.where(edge_valid, wdata.wsrc[wslot] + node_off_w[eg_safe], 0)
     ldst = wdata.wdst[wslot]
     edst = jnp.where(edge_valid, ldst + node_off_w[eg_safe], -1)
-    ew = jnp.where(edge_valid, data.edge_weight[ge], 0.0)
-    ed = jnp.where(edge_valid, data.edge_dist_norm[ge], 0.0)
+    ew = jnp.where(edge_valid, wdata.wweight[wslot], 0.0)
+    ed = jnp.where(edge_valid, wdata.wdist[wslot], 0.0)
 
     # --- tiles -------------------------------------------------------------
     tcounts = jnp.where(gmask, wdata.tile_counts[ids], 0)

@@ -146,7 +146,8 @@ class GraphDataset:
         if key in self._windowed_memo:
             return self._windowed_memo[key]
         path = (
-            os.path.join(self.cache_dir, f"windowed_{tw}_{te}.npz")
+            # v2: carries pre-permuted wsrc/wweight/wdist
+            os.path.join(self.cache_dir, f"windowed_v2_{tw}_{te}.npz")
             if self.cache_dir else None
         )
         layout = None
@@ -155,6 +156,7 @@ class GraphDataset:
             layout = W.WindowedLayout(
                 tw=tw, te=te,
                 worder=z["worder"], wvalid=z["wvalid"], wdst=z["wdst"],
+                wsrc=z["wsrc"], wweight=z["wweight"], wdist=z["wdist"],
                 wedge_ptr=z["wedge_ptr"], tile_window=z["tile_window"],
                 tile_first=z["tile_first"], tile_ptr=z["tile_ptr"],
                 node_counts_w=z["node_counts_w"], in_degree=z["in_degree"],
@@ -165,7 +167,9 @@ class GraphDataset:
                 np.savez_compressed(
                     path,
                     worder=layout.worder, wvalid=layout.wvalid,
-                    wdst=layout.wdst, wedge_ptr=layout.wedge_ptr,
+                    wdst=layout.wdst, wsrc=layout.wsrc,
+                    wweight=layout.wweight, wdist=layout.wdist,
+                    wedge_ptr=layout.wedge_ptr,
                     tile_window=layout.tile_window,
                     tile_first=layout.tile_first, tile_ptr=layout.tile_ptr,
                     node_counts_w=layout.node_counts_w,

@@ -45,6 +45,12 @@ class WindowedLayout:
     worder: np.ndarray         # (EW_tot,) int32 graph-local edge index (0 on pads)
     wvalid: np.ndarray         # (EW_tot,) float32 1 on real edge slots
     wdst: np.ndarray           # (EW_tot,) int32 graph-local dst, -1 on pads
+    # Pre-permuted per-edge data in windowed order: batch assembly gathers
+    # each through ONE hop (slot) instead of slot->worder->base-array —
+    # measured 23->? ms off the per-step assembly at bulk scale.
+    wsrc: np.ndarray           # (EW_tot,) int32 graph-local src, 0 on pads
+    wweight: np.ndarray        # (EW_tot,) float32 edge weight, 0 on pads
+    wdist: np.ndarray          # (EW_tot,) float32 normalized dist, 0 on pads
     wedge_ptr: np.ndarray      # (G+1,) int64 windowed-edge offsets per graph
     tile_window: np.ndarray    # (T_tot,) int32 graph-local window id per tile
     tile_first: np.ndarray     # (T_tot,) int32 1 = first tile of its window
@@ -70,8 +76,14 @@ def build_windowed_layout(ds, tw: int, te: int) -> WindowedLayout:
     node_ptr = np.asarray(ds.node_ptr, np.int64)
     edge_ptr = np.asarray(ds.edge_ptr, np.int64)
     edge_dst = np.asarray(ds.edge_dst, np.int64)
+    edge_src = np.asarray(ds.edge_src, np.int64)
+    edge_w = np.asarray(ds.edge_weight, np.float32)
+    edge_d = np.asarray(ds.edge_dist_norm, np.float32)
 
     worder_parts: list[np.ndarray] = []
+    wsrc_parts: list[np.ndarray] = []
+    wweight_parts: list[np.ndarray] = []
+    wdist_parts: list[np.ndarray] = []
     wvalid_parts: list[np.ndarray] = []
     wdst_parts: list[np.ndarray] = []
     tile_window_parts: list[np.ndarray] = []
@@ -102,12 +114,18 @@ def build_windowed_layout(ds, tw: int, te: int) -> WindowedLayout:
         wd = np.full(total, -1, np.int32)
         wo = np.zeros(total, np.int32)
         wv = np.zeros(total, np.float32)
+        ws = np.zeros(total, np.int32)
+        ww = np.zeros(total, np.float32)
+        wdist_g = np.zeros(total, np.float32)
         pad_off = np.concatenate([[0], np.cumsum(padded)[:-1]])
         real_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pos = pad_off[w_of] + (np.arange(len(order)) - real_off[w_of])
         wd[pos] = dst[order]
         wo[pos] = order
         wv[pos] = 1.0
+        ws[pos] = edge_src[e0:e1][order]
+        ww[pos] = edge_w[e0:e1][order]
+        wdist_g[pos] = edge_d[e0:e1][order]
 
         tiles = padded // te
         t_total = int(tiles.sum())
@@ -116,6 +134,9 @@ def build_windowed_layout(ds, tw: int, te: int) -> WindowedLayout:
         t_first[np.concatenate([[0], np.cumsum(tiles)[:-1]])] = 1
 
         worder_parts.append(wo)
+        wsrc_parts.append(ws)
+        wweight_parts.append(ww)
+        wdist_parts.append(wdist_g)
         wvalid_parts.append(wv)
         wdst_parts.append(wd)
         tile_window_parts.append(t_window)
@@ -129,6 +150,11 @@ def build_windowed_layout(ds, tw: int, te: int) -> WindowedLayout:
         worder=np.concatenate(worder_parts) if worder_parts else np.zeros(0, np.int32),
         wvalid=np.concatenate(wvalid_parts) if wvalid_parts else np.zeros(0, np.float32),
         wdst=np.concatenate(wdst_parts) if wdst_parts else np.zeros(0, np.int32),
+        wsrc=np.concatenate(wsrc_parts) if wsrc_parts else np.zeros(0, np.int32),
+        wweight=(np.concatenate(wweight_parts)
+                 if wweight_parts else np.zeros(0, np.float32)),
+        wdist=(np.concatenate(wdist_parts)
+               if wdist_parts else np.zeros(0, np.float32)),
         wedge_ptr=np.concatenate([[0], np.cumsum(wedge_counts)]).astype(np.int64),
         tile_window=(
             np.concatenate(tile_window_parts)
