@@ -1,12 +1,15 @@
 """Benchmark: CGCNN training throughput on the reference's test_data.
 
-Baseline (BASELINE.md): the reference reports ~10-20 s/epoch on CPU for
-~1k Pt clusters with CGCNN defaults (README.md:65) and a 5-20x GPU speedup,
-i.e. a ~1-3 s/epoch GPU-class baseline. We benchmark the same workload
-(CGCNN_demo config: dim1=100 dim2=150 gc_count=4 post_fc_count=3,
+Baseline (BASELINE.md): the reference publishes exactly one number —
+~10-20 s/epoch on a "regular CPU" for ~1k Pt clusters with CGCNN defaults,
+with a ~5-20x GPU speedup (/root/reference/README.md:65). That makes the
+reference's own GPU-class range 0.5-4 s/epoch. We benchmark the same
+workload (CGCNN_demo config: dim1=100 dim2=150 gc_count=4 post_fc_count=3,
 batch 100, AdamW) and report s/epoch on one TPU chip.
 
-vs_baseline = reference GPU-class epoch seconds (2.0) / ours — >1 is faster.
+vs_baseline = 0.5 / ours: the CONSERVATIVE end of the published range
+(the fastest GPU case the reference claims), so >1 means faster than the
+best number the reference gives for itself. No invented denominators.
 
 Prints ONE JSON line on stdout; all diagnostics go to stderr.
 """
@@ -80,17 +83,28 @@ def main():
     warmup_s = time.time() - t0
     log(f"warmup {K} epochs (compile): {warmup_s:.2f}s")
 
-    # Timed: 50 epochs in K-sized fused dispatches.
+    # Timed: 50 epochs in K-sized fused dispatches, with MFU/roofline
+    # accounting from the XLA cost model (utils/profiling.py).
+    from matdeeplearn_tpu.utils.profiling import ThroughputMeter
+
     n_epochs = 50
     run.state = last
+    meter = ThroughputMeter(
+        num_devices=1,
+        edges_per_epoch=float(ds.edge_counts()[train_idx].sum()),
+        graphs_per_epoch=float(len(train_idx)),
+        warmup_chunks=0,  # compile already happened in the warmup run
+    )
     t0 = time.time()
     best, last, sched = J.run_fused_training(
         run, train_idx=train_idx, val_idx=val_idx, epochs=n_epochs,
-        verbosity=K, seed=124,
+        verbosity=K, seed=124, meter=meter,
     )
     jax.block_until_ready(last.params)
     sec_per_epoch = (time.time() - t0) / n_epochs
     edges_per_sec = len(np.asarray(run.data.edge_src)) * 0.8 / sec_per_epoch
+    rates = meter.rates()
+    log("meter:", meter.report())
 
     # Finish the reference's 250-epoch budget and report the REAL test MAE
     # of the best-val model (reference README.md:51-65 smoke run).
@@ -111,22 +125,34 @@ def main():
     # scatter path. (test_data above is ~10k edges/batch — kernel off.)
     bulk = _bulk_epoch_times()
 
-    baseline_gpu_sec = 2.0  # reference GPU-class epoch time (README.md:65)
+    # Reference's own published range: 10-20 s/epoch CPU × (1/5..1/20) GPU
+    # speedup → 0.5-4 s/epoch GPU-class (README.md:65). Compare against the
+    # conservative (fastest-GPU) end.
+    baseline_gpu_best_sec = 0.5
     log(
         f"s/epoch={sec_per_epoch:.4f} edges/s={edges_per_sec:.3g} "
         f"test_mae={err:.4f} warmup_s={warmup_s:.1f} "
         f"total_bench_s={time.time() - t_start:.1f} bulk={bulk}"
     )
-    print(json.dumps({
+    out = {
         "metric": "epoch_time_test_data_cgcnn",
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
-        "vs_baseline": round(baseline_gpu_sec / sec_per_epoch, 2),
+        "vs_baseline": round(baseline_gpu_best_sec / sec_per_epoch, 2),
+        "baseline": "reference GPU-class range 0.5-4 s/epoch "
+                    "(README.md:65, conservative end)",
         "test_mae_250_epochs": round(err, 4),
         "warmup_s": round(warmup_s, 1),
         "edges_per_s": round(edges_per_sec),
         **bulk,
-    }))
+    }
+    if "mfu_pct" in rates:
+        out["mfu"] = rates["mfu_pct"]
+    if "hbm_util_pct" in rates:
+        out["bw_util"] = rates["hbm_util_pct"]
+    if "model_flops_per_s" in rates:
+        out["model_flops_per_s"] = rates["model_flops_per_s"]
+    print(json.dumps(out))
 
 
 def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):

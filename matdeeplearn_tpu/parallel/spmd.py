@@ -24,6 +24,16 @@ Design:
   * BatchNorm runs per-replica (reference DDP uses unsynced per-rank BN);
     running stats are psum-averaged across replicas after the step.
 
+Manual ring-ep caveats (setup_run prints these when they apply):
+  * edge-feature BatchNorm (MEGNet's edge MLP) computes batch statistics
+    over the local 1/ep edge-slot shard, so its training trajectory
+    differs slightly from ep=1 (node-feature BN is unaffected — halo
+    exchange restores full aggregates before node paths run);
+  * the dropout rng is deliberately replicated across the ep group so the
+    node paths stay value-identical (the gradient-exactness invariant the
+    ×ep gscale correction relies on); the side effect is that edge-path
+    dropout masks are correlated across edge shards.
+
 The reference scales lr by world_size (training/training.py:389); callers
 apply the same scaling at the job layer.
 """

@@ -183,10 +183,16 @@ def fused_trainer(
     shuffle_seed_base: int = 0,
     fused_fn=None,
     id_matrix_fn=None,
+    meter=None,
 ):
     """Run `epochs` epochs, dispatching `verbosity`-sized chunks. Returns
     (best_state, last_state, final_sched_state). Pass a cached `fused_fn`
-    (from make_fused_epochs_fn) to avoid retracing across calls."""
+    (from make_fused_epochs_fn) to avoid retracing across calls.
+
+    With a ThroughputMeter, each chunk is accounted via add_chunk — the
+    first chunk of each distinct chunk length (a fresh compile) counts as
+    warmup — and the XLA cost model's FLOPs/bytes per epoch are recorded
+    once for MFU/roofline reporting."""
     from matdeeplearn_tpu.training.train import epoch_id_matrix
 
     has_val = len(val_idx) > 0
@@ -212,18 +218,34 @@ def fused_trainer(
 
     t0 = time.time()
     epoch = 0
+    seen_k: set[int] = set()
     while epoch < epochs:
         k = min(chunk, epochs - epoch)
         ids = np.stack([
             idm(train_idx, shuffle=True, seed=shuffle_seed_base + epoch + e + 1)
             for e in range(k)
         ])
-        carry, metrics = fused(carry, data, jnp.asarray(ids), val_ids)
+        ids_dev = jnp.asarray(ids)
+        carry, metrics = fused(carry, data, ids_dev, val_ids)
         epoch += k
         train_err = float(metrics["train_error"][-1])
         val_err = float(metrics["val_error"][-1])
         lr_now = float(metrics["lr"][-1])
-        dt = (time.time() - t0) / k
+        dt_chunk = time.time() - t0
+        dt = dt_chunk / k
+        if meter is not None:
+            # The first chunk of each distinct length traces+compiles a new
+            # program shape — account it as warmup, not throughput.
+            meter.add_chunk(k, k * ids.shape[1], dt_chunk,
+                            warmup=k not in seen_k)
+            seen_k.add(k)
+            if meter.flops_per_epoch == 0.0:
+                from matdeeplearn_tpu.utils.profiling import xla_cost
+
+                cost = xla_cost(fused, carry, data, ids_dev, val_ids)
+                if cost and cost["flops"] > 0:
+                    meter.flops_per_epoch = cost["flops"] / k
+                    meter.bytes_per_epoch = cost["bytes"] / k
         t0 = time.time()
         if verbosity:
             print(

@@ -95,6 +95,17 @@ def setup_run(
     # device, so pallas_call needs no vmap/GSPMD lowering). ep>1 shards
     # the edge dim, which conflicts with the kernel's manual layout.
     eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
+    if kernel == "pallas" and not eligible:
+        # Loud fallback (a user benchmarking the kernel must not silently
+        # get XLA numbers): say exactly why the windowed path is off.
+        why = ("descriptor models have no edge aggregation"
+               if model_name in ("SM", "SOAP")
+               else "streaming datasets have no windowed layout cache"
+               if is_stream
+               else f"ep={ep} shards the edge dim, incompatible with the "
+                    "windowed layout")
+        print(f"kernel=pallas requested but unavailable ({why}); "
+              "using the XLA scatter path")
     # Measured verdict (KERNELS.md): the windowed kernel beats XLA's scatter
     # in isolation (x1.6-2.8 at 262k-1M edges on v5e) but loses END-TO-END
     # in fused training on every workload tried (x0.84 small-graph bulk,
@@ -135,8 +146,11 @@ def setup_run(
             d, d.windowed, i, spec, tw, te, bf16=kbf16
         )
     elif is_stream:
+        # align=8*ep like the non-streaming paths: _slice_edge_shard and the
+        # ring exchange need E and N divisible by ep (ADVICE r2 #1).
         spec = BatchSpec.for_dataset(
-            dataset.node_counts(), dataset.edge_counts(), bs
+            dataset.node_counts(), dataset.edge_counts(), bs,
+            align=8 * ep, align_edges=8 * ep,
         )
         data = None
         assemble_fn = None
@@ -223,6 +237,24 @@ def setup_run(
     cfg["output_dim"] = dataset.output_dim
     cfg["edge_resolution"] = dataset.num_edge_features
     loss_fn = T.get_loss(loss)
+    if (mesh is not None and ep > 1
+            and str(model_parameters.get("ep_impl", "ring")).lower() == "ring"):
+        # Documented semantic caveats of manual ring-ep (ADVICE r2 #2/#3):
+        # these configs train fine but are not bit-identical to ep=1.
+        if float(model_parameters.get("dropout_rate", 0.0) or 0.0) > 0:
+            print(
+                "note: ep>1 (ring) replicates the dropout rng across the ep "
+                "group — edge-path dropout masks are correlated across edge "
+                "shards (node-path masks are identical by design, which is "
+                "what keeps gradients exact)"
+            )
+        if (model_name == "MEGNet"
+                and str(model_parameters.get("batch_norm", "True")) == "True"):
+            print(
+                "note: ep>1 (ring) computes MEGNet edge-feature BatchNorm "
+                "statistics per edge shard (1/ep of the edges); training "
+                "differs slightly from the ep=1 semantics"
+            )
     if is_stream and mesh is not None:
         # Streaming × SPMD: host assembles dp per-replica batches per step,
         # stacked and placed with a P('dp') sharding (ShardedStream); the
@@ -326,6 +358,7 @@ def run_fused_training(
     verbosity: int,
     seed: int,
     checkpoint_path: str | None = None,
+    meter=None,
 ):
     """Drive the fused (on-device scheduler) trainer for a Run. Returns
     (best_state, last_state, final_plateau_state). Streaming runs (large
@@ -359,6 +392,7 @@ def run_fused_training(
             rng_key=jax.random.PRNGKey(seed),
             checkpoint_fn=stream_ckpt if checkpoint_path else None,
             shuffle_seed_base=seed,
+            meter=meter,
         )
         return best, last, sched
 
@@ -424,6 +458,7 @@ def run_fused_training(
         shuffle_seed_base=seed,
         fused_fn=fused_fn,
         id_matrix_fn=run.id_matrix_fn,
+        meter=meter,
     )
 
 
@@ -514,8 +549,8 @@ def train_regular(
                 if str(job_parameters.get("save_model", "True")) == "True"
                 else None
             ),
+            meter=meter,
         )
-    meter.tick(int(model_parameters.get("epochs", 250)))
     print(meter.report())
     run.scheduler.lr = float(final_sched.lr)
     run.state = best_state

@@ -132,12 +132,16 @@ def stream_trainer(
     rng_key,
     checkpoint_fn=None,
     shuffle_seed_base: int = 0,
+    meter=None,
 ):
     """Returns (best_state, last_state, scheduler). checkpoint_fn(best_state,
-    best_val, scheduler) is called on every best-val improvement."""
+    best_val, scheduler) is called on every best-val improvement. With a
+    ThroughputMeter, epochs are accounted individually (epoch 1 = compile
+    warmup) and the XLA cost model's per-step FLOPs are recorded once."""
     best_val = float("inf")
     best_params, best_stats = state.params, state.batch_stats
     has_val = len(val_idx) > 0
+    n_steps = -(-len(train_idx) // batch_size)
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         state, train_err, rng_key = stream_train_epoch(
@@ -148,6 +152,21 @@ def stream_trainer(
             stream_evaluate(eval_step, sds, spec, state, val_idx, batch_size)
             if has_val else float("nan")
         )
+        if meter is not None:
+            meter.add_chunk(1, n_steps, time.time() - t0, warmup=epoch == 1)
+            if meter.flops_per_epoch == 0.0:
+                from matdeeplearn_tpu.utils.profiling import xla_cost
+
+                try:
+                    ids = next(_epoch_ids(np.asarray(train_idx), batch_size,
+                                          False, None))
+                    cost = xla_cost(train_step, state, sds.assemble(ids, spec),
+                                    jax.random.PRNGKey(0))
+                    if cost and cost["flops"] > 0:
+                        meter.flops_per_epoch = cost["flops"] * n_steps
+                        meter.bytes_per_epoch = cost["bytes"] * n_steps
+                except Exception:
+                    pass
         metric = val_err if has_val else train_err
         if metric < best_val:
             best_val = metric

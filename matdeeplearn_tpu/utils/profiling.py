@@ -4,7 +4,14 @@ The reference's only instrumentation is wall-clock prints (main.py:28,
 228-241; training/training.py:139-140,199). First-class TPU metrics here:
 
   * ThroughputMeter — edges/s/chip, graphs/s, epochs/hr over a training
-    run (the north-star counters from BASELINE.md),
+    run (the north-star counters from BASELINE.md), measured at chunk
+    granularity with the first (compile-warmup) chunk excluded, plus
+    MFU / HBM-bandwidth utilization when the XLA cost model and the
+    device peak table are available,
+  * xla_cost() — per-dispatch FLOPs / bytes-accessed from the compiled
+    executable's own cost analysis (no hand-counted FLOP formulas),
+  * device_peaks() — per-chip peak matmul FLOP/s (bf16) and HBM GB/s by
+    device kind, the roofline denominators,
   * trace() — context manager around jax.profiler for on-demand XLA/TPU
     traces (view with tensorboard or xprof), enabled per job via the
     `profile: "True"` / `profile_dir` job parameters.
@@ -18,20 +25,91 @@ from dataclasses import dataclass, field
 
 import jax
 
+# Peak per-chip (dense matmul FLOP/s at bf16, HBM bytes/s) by device kind.
+# Public figures: v4 275 TF / 1.23 TB/s; v5e 197 TF / 0.82 TB/s;
+# v5p 459 TF / 2.77 TB/s; v6e (Trillium) 918 TF / 1.64 TB/s.
+# MFU is reported against the bf16 peak regardless of compute dtype — the
+# conventional denominator — so f32 runs cap out near ~50%.
+TPU_PEAKS: dict[str, tuple[float, float]] = {
+    "v2": (46e12, 700e9),
+    "v3": (123e12, 900e9),
+    "v4": (275e12, 1228e9),
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v5": (459e12, 2765e9),
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+}
+
+
+def device_peaks(device=None) -> tuple[float, float] | None:
+    """(peak_flops_per_s, peak_hbm_bytes_per_s) for one chip, or None when
+    the device kind is not a known TPU (e.g. CPU test runs)."""
+    try:
+        d = device or jax.devices()[0]
+        kind = d.device_kind.lower()
+    except Exception:
+        return None
+    if "tpu" not in kind:
+        return None
+    # Longest matching key wins ("v5 lite" before "v5").
+    best = None
+    for key, peaks in TPU_PEAKS.items():
+        if key in kind and (best is None or len(key) > len(best[0])):
+            best = (key, peaks)
+    return best[1] if best else None
+
+
+def xla_cost(jitted_fn, *args, **kwargs) -> dict | None:
+    """FLOPs / bytes-accessed of one dispatch of a jitted function, from the
+    compiled executable's cost analysis (XLA's own model — not hand math).
+    Returns {"flops": float, "bytes": float} or None if unavailable."""
+    try:
+        c = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        if not c:
+            return None
+        return {
+            "flops": float(c.get("flops", 0.0)),
+            "bytes": float(c.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return None
+
 
 @dataclass
 class ThroughputMeter:
-    """Accumulates work counters over epochs and reports rates.
+    """Accumulates work counters over dispatch chunks and reports rates.
 
     edges/s is the SpMM-equivalent workload rate (messages aggregated per
     second); per-chip rates divide by the device count actually used.
+
+    Preferred accounting is `add_chunk(epochs, steps, seconds)` per fused
+    dispatch: the first `warmup_chunks` chunks (compile) accumulate into
+    `warmup_s` and are excluded from every rate. The legacy start()/tick()
+    wall-clock accounting remains for callers without chunk boundaries.
+
+    When `flops_per_epoch`/`bytes_per_epoch` are set (from xla_cost) and
+    the device has a known peak, rates() also reports mfu_pct (achieved
+    FLOP/s over per-chip matmul peak × devices) and hbm_util_pct.
     """
 
     num_devices: int = 1
     edges_per_epoch: float = 0.0
     graphs_per_epoch: float = 0.0
     epochs: int = 0
+    warmup_chunks: int = 1
+    flops_per_epoch: float = 0.0  # XLA cost-model FLOPs (all devices)
+    bytes_per_epoch: float = 0.0  # XLA cost-model HBM bytes (all devices)
+    steps: int = 0
+    warmup_s: float = 0.0
     _t0: float = field(default_factory=time.perf_counter)
+    _timed_s: float = 0.0
+    _timed_epochs: float = 0.0
+    _timed_steps: int = 0
+    _chunks_seen: int = 0
 
     def start(self):
         self._t0 = time.perf_counter()
@@ -41,16 +119,37 @@ class ThroughputMeter:
     def tick(self, epochs: int = 1):
         self.epochs += epochs
 
+    def add_chunk(self, epochs: int, steps: int, seconds: float,
+                  warmup: bool | None = None):
+        """Account one fused dispatch; early chunks (or chunks the caller
+        flags, e.g. a fresh program shape) are compile warmup."""
+        self._chunks_seen += 1
+        self.epochs += epochs
+        self.steps += steps
+        if warmup is None:
+            warmup = self._chunks_seen <= self.warmup_chunks
+        if warmup:
+            self.warmup_s += seconds
+            return
+        self._timed_s += seconds
+        self._timed_epochs += epochs
+        self._timed_steps += steps
+
     @property
     def elapsed(self) -> float:
         return max(time.perf_counter() - self._t0, 1e-9)
 
     def rates(self) -> dict:
-        el = self.elapsed
-        eps = self.epochs / el
-        return {
+        if self._timed_epochs > 0:
+            el, epochs, steps = self._timed_s, self._timed_epochs, self._timed_steps
+        else:  # legacy wall-clock accounting (includes compile)
+            el, epochs, steps = self.elapsed, self.epochs, self.steps
+        el = max(el, 1e-9)
+        eps = epochs / el
+        out = {
             "epochs": self.epochs,
             "wall_s": round(el, 3),
+            "warmup_s": round(self.warmup_s, 3),
             "epochs_per_hr": round(eps * 3600.0, 2),
             "edges_per_s": round(self.edges_per_epoch * eps, 1),
             "edges_per_s_per_chip": round(
@@ -58,14 +157,39 @@ class ThroughputMeter:
             ),
             "graphs_per_s": round(self.graphs_per_epoch * eps, 1),
         }
+        if steps:
+            out["step_ms"] = round(1e3 * el / steps, 3)
+        if self.flops_per_epoch > 0:
+            flops_s = self.flops_per_epoch * eps
+            out["model_flops_per_s"] = round(flops_s)
+            peaks = device_peaks()
+            if peaks is not None:
+                peak_f, peak_b = peaks
+                out["mfu_pct"] = round(
+                    100.0 * flops_s / (peak_f * max(self.num_devices, 1)), 2
+                )
+                if self.bytes_per_epoch > 0:
+                    out["hbm_util_pct"] = round(
+                        100.0 * self.bytes_per_epoch * eps
+                        / (peak_b * max(self.num_devices, 1)),
+                        2,
+                    )
+        return out
 
     def report(self) -> str:
         r = self.rates()
-        return (
+        msg = (
             "Throughput: {edges_per_s_per_chip:,.0f} edges/s/chip "
             "({edges_per_s:,.0f} edges/s), {graphs_per_s:,.0f} graphs/s, "
             "{epochs_per_hr:,.1f} epochs/hr over {epochs} epochs".format(**r)
         )
+        if "step_ms" in r:
+            msg += ", {step_ms:.2f} ms/step".format(**r)
+        if "mfu_pct" in r:
+            msg += ", MFU {mfu_pct:.1f}%".format(**r)
+            if "hbm_util_pct" in r:
+                msg += " / HBM {hbm_util_pct:.1f}%".format(**r)
+        return msg
 
 
 @contextlib.contextmanager

@@ -24,6 +24,63 @@ def test_meter_rates():
     assert "edges/s/chip" in m.report()
 
 
+def test_meter_chunk_accounting_excludes_warmup():
+    m = ThroughputMeter(num_devices=1, edges_per_epoch=100.0,
+                        graphs_per_epoch=10.0)
+    m.add_chunk(5, 10, 100.0)           # compile chunk: excluded from rates
+    m.add_chunk(5, 10, 1.0)
+    m.add_chunk(5, 10, 1.0)
+    r = m.rates()
+    assert r["epochs"] == 15            # all epochs counted
+    assert r["warmup_s"] == 100.0
+    assert abs(r["wall_s"] - 2.0) < 1e-6  # but only steady-state time rated
+    assert abs(r["epochs_per_hr"] - 10 / 2.0 * 3600) < 1.0
+    assert abs(r["step_ms"] - 100.0) < 1e-6  # 20 steps / 2 s
+
+
+def test_meter_explicit_warmup_flag():
+    m = ThroughputMeter(warmup_chunks=0, edges_per_epoch=1.0)
+    m.add_chunk(1, 1, 50.0, warmup=True)   # new program shape mid-run
+    m.add_chunk(1, 1, 1.0, warmup=False)
+    assert m.rates()["wall_s"] == 1.0
+
+
+def test_xla_cost_reports_flops():
+    import jax
+    import jax.numpy as jnp
+
+    from matdeeplearn_tpu.utils.profiling import xla_cost
+
+    f = jax.jit(lambda a, b: a @ b)
+    a = jnp.ones((64, 64))
+    cost = xla_cost(f, a, a)
+    if cost is None:  # cost model unavailable on this backend — allowed
+        return
+    # 64^3 MACs = 2*64^3 flops (XLA counts fused adds too; allow slack)
+    assert cost["flops"] >= 2 * 64 ** 3 * 0.5
+    assert cost["bytes"] > 0
+
+
+def test_device_peaks_cpu_is_none():
+    from matdeeplearn_tpu.utils.profiling import device_peaks
+
+    assert device_peaks() is None  # conftest forces CPU
+
+
+def test_meter_mfu_fields_with_fake_peaks(monkeypatch):
+    import matdeeplearn_tpu.utils.profiling as P
+
+    monkeypatch.setattr(P, "device_peaks", lambda device=None: (1e12, 1e11))
+    m = P.ThroughputMeter(num_devices=2, edges_per_epoch=10.0,
+                          flops_per_epoch=1e12, bytes_per_epoch=1e11)
+    m.add_chunk(1, 1, 1.0, warmup=False)
+    r = m.rates()
+    # 1e12 flops/s over 2 chips of 1e12 peak = 50% MFU; HBM likewise
+    assert abs(r["mfu_pct"] - 50.0) < 0.5
+    assert abs(r["hbm_util_pct"] - 50.0) < 0.5
+    assert "MFU" in m.report()
+
+
 def test_meter_for_training(toy_dataset):
     idx = np.array([0, 2, 4])
     m = meter_for_training(toy_dataset, idx)
