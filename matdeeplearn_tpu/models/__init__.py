@@ -25,6 +25,7 @@ _COMMON = {
     "num_features", "dim1", "dim2", "pre_fc_count", "gc_count",
     "post_fc_count", "pool", "pool_order", "batch_norm", "batch_track_stats",
     "act", "dropout_rate", "output_dim", "edge_resolution", "edge_width",
+    "precision",
 }
 MODEL_FIELDS = {
     "CGCNN": _COMMON,
@@ -32,8 +33,8 @@ MODEL_FIELDS = {
     "MPNN": _COMMON | {"dim3"},
     "SchNet": _COMMON | {"dim3", "cutoff"},
     "MEGNet": _COMMON | {"dim3", "gc_fc_count"},
-    "SM": {"dim1", "fc_count", "output_dim"},
-    "SOAP": {"dim1", "fc_count", "output_dim"},
+    "SM": {"dim1", "fc_count", "output_dim", "precision"},
+    "SOAP": {"dim1", "fc_count", "output_dim", "precision"},
 }
 
 
@@ -55,6 +56,12 @@ def build_model(name: str, dataset, hyperparams: dict):
             continue
         if k in ("batch_norm", "batch_track_stats") and isinstance(v, str):
             v = v == "True"
+        if k == "precision":
+            v = str(v).lower()
+            if v not in ("f32", "bf16"):
+                raise ValueError(
+                    f"precision must be 'f32' or 'bf16', got {v!r}"
+                )
         kwargs[k] = v
     kwargs.setdefault("output_dim", dataset.output_dim)
     if name not in ("SM", "SOAP"):

@@ -25,13 +25,22 @@ class GNNBase(nn.Module):
     # Subclasses must define these dataclass fields:
     #   num_features, dim1, dim2, pre_fc_count, gc_count, post_fc_count,
     #   pool, pool_order, batch_norm, batch_track_stats, act, dropout_rate,
-    #   output_dim, edge_resolution, edge_width
+    #   output_dim, edge_resolution, edge_width, precision
+
+    @property
+    def compute_dtype(self):
+        """Activation dtype. precision="bf16" runs the conv/FC stacks in
+        bf16 on the MXU (f32 master params, f32 matmul accumulation, f32
+        BatchNorm stats and segment-sum accumulators, f32 loss) — the TPU
+        mixed-precision recipe. Default "f32" is bit-identical to r2."""
+        return (jnp.bfloat16 if getattr(self, "precision", "f32") == "bf16"
+                else jnp.float32)
 
     def edge_features(self, batch: GraphBatch):
         """On-device Gaussian expansion of stored normalized distances."""
         return gaussian_basis(
             batch.edge_dist_norm, 0.0, 1.0, self.edge_resolution, self.edge_width
-        )
+        ).astype(self.compute_dtype)
 
     @property
     def gc_dim(self) -> int:
@@ -42,6 +51,7 @@ class GNNBase(nn.Module):
         return self.num_features if self.pre_fc_count == 0 else self.dim1
 
     def apply_pre_fc(self, x):
+        x = x.astype(self.compute_dtype)
         fn = get_activation(self.act)
         for i in range(self.pre_fc_count):
             x = Linear(self.dim1, name=f"pre_lin{i}")(x)
@@ -87,6 +97,7 @@ class GNNBase(nn.Module):
                     out, batch.node_graph, batch.node_mask, batch.num_graphs
                 )
 
+        out = out.astype(jnp.float32)  # predictions/loss always f32
         if out.shape[-1] == 1:
             return out.reshape(-1)
         return out
@@ -108,4 +119,5 @@ COMMON_FIELDS = dict(
     output_dim=1,
     edge_resolution=50,
     edge_width=0.2,
+    precision="f32",
 )

@@ -52,6 +52,7 @@ class MEGNet(GNNBase):
     output_dim: int = 1
     edge_resolution: int = 50
     edge_width: float = 0.2
+    precision: str = "f32"
 
     @property
     def post_fc_dim(self) -> int:  # MEGNet pools dim3-wide features
@@ -68,7 +69,7 @@ class MEGNet(GNNBase):
         x, e, u = out, None, None
         for i in range(self.gc_count):
             e_in = edge_attr if i == 0 else e
-            u_in = batch.u if i == 0 else u
+            u_in = batch.u.astype(self.compute_dtype) if i == 0 else u
             e_temp = MLP((self.dim3, self.dim3), act="relu", name=f"e_embed{i}")(e_in)
             x_temp = MLP((self.dim3, self.dim3), act="relu", name=f"x_embed{i}")(x)
             u_temp = MLP((self.dim3, self.dim3), act="relu", name=f"u_embed{i}")(u_in)
@@ -131,6 +132,7 @@ class MEGNet(GNNBase):
                     out, batch.node_graph, batch.node_mask, B
                 )
 
+        out = out.astype(jnp.float32)  # predictions/loss always f32
         if out.shape[-1] == 1:
             return out.reshape(-1)
         return out

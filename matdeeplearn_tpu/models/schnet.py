@@ -34,6 +34,7 @@ class SchNet(GNNBase):
     output_dim: int = 1
     edge_resolution: int = 50
     edge_width: float = 0.2
+    precision: str = "f32"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):

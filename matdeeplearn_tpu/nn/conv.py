@@ -73,7 +73,10 @@ class NNConv(nn.Module):
             (din, self.dim),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return agg + jnp.dot(x, root, preferred_element_type=jnp.float32) + bias
+        rootx = jnp.dot(
+            x, root.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return agg + rootx + bias.astype(x.dtype)
 
 
 class SchNetInteraction(nn.Module):
@@ -93,7 +96,7 @@ class SchNetInteraction(nn.Module):
         w = Linear(self.filters, kernel_init=xavier_uniform(),
                    bias_init=nn.initializers.zeros, name="mlp1")(w)
         c = 0.5 * (jnp.cos(batch.edge_weight * jnp.pi / self.cutoff) + 1.0)
-        w = w * (c * batch.edge_mask)[:, None]
+        w = w * (c * batch.edge_mask).astype(w.dtype)[:, None]
 
         h = Linear(self.filters, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin1")(x)
@@ -126,11 +129,12 @@ class GCNConv(nn.Module):
                    name="lin")(x)
         # Fused SpMM: norm folds into the aggregation kernel (windowed path
         # multiplies on the VPU inside ops/pallas_segment.py:windowed_spmm —
-        # the scaled messages never hit HBM).
+        # the scaled messages never hit HBM). Degree math stays f32; the
+        # weights cast to the activation dtype inside edge_aggregate.
         out = edge_aggregate(h[batch.edge_src], batch, reduce="sum",
                              weights=norm)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 class MEGNetMLP(nn.Module):

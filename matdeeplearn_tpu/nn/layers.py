@@ -62,7 +62,13 @@ def get_activation(name: str) -> Callable:
 
 
 class Linear(nn.Module):
-    """Dense layer with torch.nn.Linear initialization."""
+    """Dense layer with torch.nn.Linear initialization.
+
+    Mixed precision: parameters are stored f32 (master weights) and cast to
+    the activation dtype at use — under bf16 activations the matmul runs
+    bf16×bf16 on the MXU with f32 accumulation (preferred_element_type),
+    the TPU mixed-precision recipe. XLA folds the casts into the matmul.
+    """
 
     features: int
     use_bias: bool = True
@@ -75,9 +81,11 @@ class Linear(nn.Module):
         kinit = self.kernel_init or torch_linear_init(fan_in)
         binit = self.bias_init or torch_linear_init(fan_in)
         kernel = self.param("kernel", kinit, (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(
+            x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         if self.use_bias:
-            y = y + self.param("bias", binit, (self.features,))
+            y = y + self.param("bias", binit, (self.features,)).astype(x.dtype)
         return y
 
 
@@ -110,6 +118,10 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
         )
 
+        # Statistics always in f32 (torch autocast runs BN in f32 too) —
+        # under bf16 activations the normalization stays well-conditioned.
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         use_batch_stats = (not use_running_average) or (not self.track_stats)
         if use_batch_stats:
             if mask is None:
@@ -130,7 +142,7 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(in_dtype)
 
 
 class GRUCell(nn.Module):
@@ -146,12 +158,15 @@ class GRUCell(nn.Module):
     def __call__(self, x, h):
         H = self.hidden
         init = torch_linear_init(H)  # torch GRU: U(-1/sqrt(H), 1/sqrt(H)) everywhere
-        w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H))
-        w_hh = self.param("w_hh", init, (H, 3 * H))
-        b_ih = self.param("b_ih", init, (3 * H,))
-        b_hh = self.param("b_hh", init, (3 * H,))
-        gi = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
-        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        dt = x.dtype
+        w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H)).astype(dt)
+        w_hh = self.param("w_hh", init, (H, 3 * H)).astype(dt)
+        b_ih = self.param("b_ih", init, (3 * H,)).astype(dt)
+        b_hh = self.param("b_hh", init, (3 * H,)).astype(dt)
+        gi = (jnp.dot(x, w_ih, preferred_element_type=jnp.float32).astype(dt)
+              + b_ih)
+        gh = (jnp.dot(h.astype(dt), w_hh,
+                      preferred_element_type=jnp.float32).astype(dt) + b_hh)
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
@@ -169,14 +184,16 @@ class LSTMCell(nn.Module):
     def __call__(self, x, h, c):
         H = self.hidden
         init = torch_linear_init(H)
-        w_ih = self.param("w_ih", init, (x.shape[-1], 4 * H))
-        w_hh = self.param("w_hh", init, (H, 4 * H))
-        b_ih = self.param("b_ih", init, (4 * H,))
-        b_hh = self.param("b_hh", init, (4 * H,))
+        dt = x.dtype
+        w_ih = self.param("w_ih", init, (x.shape[-1], 4 * H)).astype(dt)
+        w_hh = self.param("w_hh", init, (H, 4 * H)).astype(dt)
+        b_ih = self.param("b_ih", init, (4 * H,)).astype(dt)
+        b_hh = self.param("b_hh", init, (4 * H,)).astype(dt)
         g = (
-            jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+            jnp.dot(x, w_ih, preferred_element_type=jnp.float32).astype(dt)
             + b_ih
-            + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(dt), w_hh,
+                      preferred_element_type=jnp.float32).astype(dt)
             + b_hh
         )
         i, f, gg, o = jnp.split(g, 4, axis=-1)

@@ -48,7 +48,7 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
         # (Windowed layouts are never edge-sharded — jobs.py keeps the Pallas
         # kernel single-shard.)
         if weights is not None:
-            messages = messages * weights[:, None]
+            messages = messages * weights.astype(messages.dtype)[:, None]
         total = segment.segment_sum(
             messages, batch.edge_dst_safe, num_segments=n, mask=batch.edge_mask
         )
@@ -58,10 +58,16 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
                 batch.edge_dst_safe, num_segments=n, mask=batch.edge_mask
             )
             count = ring.halo_exchange_sum(count)
-            total = total / jnp.maximum(count, 1.0)[:, None]
+            total = (total.astype(jnp.float32)
+                     / jnp.maximum(count, 1.0)[:, None]).astype(messages.dtype)
         return total
 
     if batch.is_windowed:
+        # The windowed kernels run f32 (or their own hi/lo-bf16 mode via
+        # kernel_precision); bf16 activations round-trip through f32 here.
+        mdtype = messages.dtype
+        if mdtype == jnp.bfloat16:
+            messages = messages.astype(jnp.float32)
         interpret = jax.default_backend() != "tpu"
         in_manual = bool(getattr(jax.typeof(messages), "vma", frozenset()))
         if interpret and in_manual:
@@ -99,10 +105,10 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
         out = jnp.where(batch.node_mask[:, None] > 0, out, 0.0)
         if reduce == "mean":
             out = out / jnp.maximum(batch.in_degree, 1.0)[:, None]
-        return out
+        return out.astype(mdtype)
 
     if weights is not None:
-        messages = messages * weights[:, None]
+        messages = messages * weights.astype(messages.dtype)[:, None]
     if reduce == "mean":
         return segment.segment_mean(
             messages, batch.edge_dst, num_segments=n, mask=batch.edge_mask

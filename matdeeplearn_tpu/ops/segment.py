@@ -30,10 +30,17 @@ def segment_sum(
     num_segments: int,
     mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Sum of `values` rows per segment; masked rows contribute zero."""
-    return jax.ops.segment_sum(
-        _masked(values, mask), segment_ids, num_segments=num_segments
-    )
+    """Sum of `values` rows per segment; masked rows contribute zero.
+
+    bf16 inputs accumulate in f32 (a bf16 accumulator loses low bits after
+    ~256 addends) and cast back, so mixed-precision nets keep exact-degree
+    aggregation semantics."""
+    v = _masked(values, mask)
+    if v.dtype == jnp.bfloat16:
+        return jax.ops.segment_sum(
+            v.astype(jnp.float32), segment_ids, num_segments=num_segments
+        ).astype(jnp.bfloat16)
+    return jax.ops.segment_sum(v, segment_ids, num_segments=num_segments)
 
 
 def segment_count(
@@ -60,9 +67,11 @@ def segment_mean(
     Matches torch_scatter.scatter_mean semantics (empty segment yields 0).
     """
     total = segment_sum(values, segment_ids, num_segments, mask)
-    count = segment_count(segment_ids, num_segments, mask, total.dtype)
+    count = segment_count(segment_ids, num_segments, mask, jnp.float32)
     count = count.reshape(count.shape + (1,) * (total.ndim - count.ndim))
-    return total / jnp.maximum(count, 1.0)
+    # Divide in f32 (bf16 can't represent counts > 256 exactly), cast back.
+    out = total.astype(jnp.float32) / jnp.maximum(count, 1.0)
+    return out.astype(total.dtype)
 
 
 def segment_max(
