@@ -46,8 +46,19 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
     )
     if not present:
         return False
+    # Manual topology (non-TPU-pod launchers, CPU integration tests): pass
+    # the explicit rendezvous triple when the env spells it out;
+    # jax.distributed.initialize() auto-detects the rest (SLURM, TPU pods).
+    kwargs = {}
+    addr = env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS")
+    if addr and env.get("JAX_NUM_PROCESSES") and env.get("JAX_PROCESS_ID"):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(env["JAX_NUM_PROCESSES"]),
+            process_id=int(env["JAX_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         if verbose:
             print(
                 f"jax.distributed initialized: process "

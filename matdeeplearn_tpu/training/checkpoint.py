@@ -30,6 +30,11 @@ def save_checkpoint(
     model_config: dict,
     extra_meta: dict | None = None,
 ):
+    # Multi-controller discipline: only process 0 writes checkpoints (the
+    # reference's rank-0 checkpoint gate, training/training.py:143-155);
+    # every process still computes the same state.
+    if jax.process_index() != 0:
+        return
     meta = {
         "model_name": model_name,
         "model_config": model_config,

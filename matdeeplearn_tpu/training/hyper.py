@@ -72,6 +72,101 @@ def sample_space(space: dict, rng) -> dict:
     return out
 
 
+# -------------------------------------------------------------- TPE suggester
+
+
+def _norm_logpdf(x, mu, sigma):
+    return -0.5 * ((x - mu) / sigma) ** 2 - np.log(sigma) - 0.9189385332046727
+
+
+def _kde_logdensity(x, centers, lo, hi):
+    """Parzen-window log density: Gaussian mixture at observed points with a
+    range-scaled bandwidth (HyperOpt-style heuristic) plus a uniform prior
+    component so unexplored regions keep nonzero mass."""
+    centers = np.asarray(centers, np.float64)
+    span = max(hi - lo, 1e-12)
+    sigma = max(span / max(np.sqrt(len(centers)), 1.0), 1e-3 * span)
+    comp = _norm_logpdf(x, centers, sigma)  # (n_centers,)
+    # mixture of the n kernels and one uniform(lo,hi) pseudo-kernel
+    logs = np.concatenate([comp, [np.log(1.0 / span)]])
+    return float(np.logaddexp.reduce(logs) - np.log(len(logs)))
+
+
+def suggest_tpe(
+    space: dict,
+    results: list[dict],
+    rng,
+    n_initial: int = 5,
+    gamma: float = 0.25,
+    n_candidates: int = 24,
+) -> dict:
+    """Tree-structured Parzen Estimator suggestion (the reference's
+    HyperOptSearch role, training/training.py:1004-1007, 5 initial points).
+
+    Below `n_initial` completed trials: plain random sampling (identical
+    rng stream to sample_space, so early trials are reproducible). After:
+    split completed trials at the `gamma` quantile of val error into
+    good/bad sets, model each dimension with Parzen windows l(x) (good) and
+    g(x) (bad), draw `n_candidates` from l, keep the candidate maximizing
+    Σ_dims log l(x)/g(x) (per-dimension independent TPE, as HyperOpt)."""
+    obs = [
+        (r["config"], float(r["best_val"]))
+        for r in results
+        if np.isfinite(r.get("best_val", np.inf))
+    ]
+    if len(obs) < n_initial:
+        return sample_space(space, rng)
+    obs.sort(key=lambda cv: cv[1])
+    n_good = max(1, int(np.ceil(gamma * len(obs))))
+    good = [c for c, _ in obs[:n_good]]
+    bad = [c for c, _ in obs[n_good:]] or good
+
+    best_cand, best_score = None, -np.inf
+    for _ in range(n_candidates):
+        cand, score = {}, 0.0
+        for k, dist in space.items():
+            if not hasattr(dist, "sample"):
+                cand[k] = dist
+                continue
+            gv = [c[k] for c in good if k in c]
+            bv = [c[k] for c in bad if k in c]
+            if not gv or not bv:
+                cand[k] = dist.sample(rng)
+                continue
+            if isinstance(dist, Choice):
+                opts = list(dist.options)
+                idx = {o: i for i, o in enumerate(opts)}
+                pg = np.ones(len(opts))
+                pb = np.ones(len(opts))
+                for v in gv:
+                    pg[idx[v]] += 1
+                for v in bv:
+                    pb[idx[v]] += 1
+                pg /= pg.sum()
+                pb /= pb.sum()
+                i = int(rng.choice(len(opts), p=pg))
+                cand[k] = opts[i]
+                score += float(np.log(pg[i]) - np.log(pb[i]))
+            else:
+                logspace = isinstance(dist, LogUniform)
+                tx = np.log if logspace else (lambda v: np.asarray(v, float))
+                lo, hi = float(tx(dist.lo)), float(tx(dist.hi))
+                gl = [float(tx(v)) for v in gv]
+                bl = [float(tx(v)) for v in bv]
+                span = max(hi - lo, 1e-12)
+                sigma = max(span / max(np.sqrt(len(gl)), 1.0), 1e-3 * span)
+                x = float(np.clip(
+                    gl[int(rng.integers(len(gl)))] + sigma * rng.normal(),
+                    lo, hi,
+                ))
+                score += (_kde_logdensity(x, gl, lo, hi)
+                          - _kde_logdensity(x, bl, lo, hi))
+                cand[k] = float(np.exp(x)) if logspace else x
+        if score > best_score:
+            best_cand, best_score = cand, score
+    return best_cand
+
+
 _DIMS = Choice(tuple(x * 10 for x in range(1, 20)))
 _BATCH = Choice(tuple(x * 10 for x in range(1, 20)))
 _GC = Choice((1, 2, 3, 4, 5, 6, 7, 8, 9))
@@ -139,12 +234,18 @@ def run_trial(
     rung_checks: list[tuple[int, float]] | None = None,
     checkpoint_path: str | None = None,
     seed: int = 0,
+    resume_from_checkpoint: bool = False,
 ):
     """Train one sampled config; returns (best_val_error, history).
 
     rung_checks: [(epoch, median_so_far)] — stop early if val > median
     at that rung (median rule / ASHA-style grace).
-    """
+
+    Checkpoints every `report_every` epochs (model + optimizer + scheduler
+    + epoch/best_val header — the reference's tune.checkpoint_dir cadence,
+    training.py:963-976). With resume_from_checkpoint, an interrupted trial
+    continues from its recorded epoch instead of restarting at 0
+    (reference training.py:932-939)."""
     mp = {**model_parameters, **{k: v for k, v in trial_config.items()
                                  if k not in _PROCESSING_KEYS}}
     loss = training_parameters.get("loss", "l1_loss")
@@ -160,11 +261,25 @@ def run_trial(
     )
     run = setup_run(dataset, mp, loss, seed=seed, print_model=False)
     state = run.state
-    rngs = jax.random.PRNGKey(seed)
     best_val = float("inf")
+    start_epoch = 0
+    if (resume_from_checkpoint and checkpoint_path
+            and os.path.exists(checkpoint_path)):
+        from matdeeplearn_tpu.training.checkpoint import load_checkpoint
+
+        meta, state = load_checkpoint(checkpoint_path, run.state)
+        if meta.get("scheduler"):
+            run.scheduler = run.scheduler.__class__.from_state_dict(
+                meta["scheduler"]
+            )
+        start_epoch = int(meta.get("epoch", 0))
+        best_val = float(meta.get("best_val", np.inf))
+        print(f"resuming trial from epoch {start_epoch} "
+              f"(best_val={best_val:.5f})")
+    rngs = jax.random.PRNGKey(seed)
     history = []
     rungs = dict(rung_checks or [])
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch + 1, epochs + 1):
         state, train_error, rngs = T.train_epoch_scan(
             run.train_epoch_fn, state, run.data, train_idx, batch_size, rngs,
             shuffle_seed=epoch, id_matrix_fn=run.id_matrix_fn,
@@ -176,13 +291,13 @@ def run_trial(
                 id_matrix_fn=run.id_matrix_fn,
             )
             history.append({"epoch": epoch, "train": train_error, "val": val_error})
-            if val_error < best_val:
-                best_val = val_error
-                if checkpoint_path:
-                    save_checkpoint(
-                        checkpoint_path, state, run.scheduler,
-                        run.model_name, run.model_config,
-                    )
+            best_val = min(best_val, val_error) if np.isfinite(val_error) else best_val
+            if checkpoint_path:
+                save_checkpoint(
+                    checkpoint_path, state, run.scheduler,
+                    run.model_name, run.model_config,
+                    extra_meta={"epoch": epoch, "best_val": best_val},
+                )
             if epoch in rungs and np.isfinite(rungs[epoch]) and val_error > rungs[epoch]:
                 history.append({"epoch": epoch, "stopped": "median_rule"})
                 break
@@ -193,8 +308,16 @@ def _execute_trial(payload: dict) -> dict:
     """Run one trial from a picklable payload; returns its result record.
 
     Top-level so spawn-based worker processes can import it. Loads (or
-    receives) the dataset, trains, checkpoints the best state, and cleans
-    up any per-trial processed dir."""
+    receives) the dataset, trains, checkpoints per report interval, and
+    cleans up any per-trial processed dir.
+
+    payload["device_env"] (per-chip trial pinning): applied to os.environ
+    BEFORE any jax backend initialization in this process — with a fresh
+    worker per trial (max_tasks_per_child=1) TPU_VISIBLE_CHIPS pins the
+    trial to one chip of a multi-chip host."""
+    denv = payload.get("device_env") or {}
+    if denv:
+        os.environ.update({k: str(v) for k, v in denv.items()})
     t = payload["trial"]
     cfg = payload["config"]
     data_path = payload["data_path"]
@@ -220,6 +343,7 @@ def _execute_trial(payload: dict) -> dict:
             rung_checks=payload["rung_checks"],
             checkpoint_path=payload["checkpoint_path"],
             seed=payload["seed"],
+            resume_from_checkpoint=payload.get("resume_trial", False),
         )
     finally:
         if proc_dir and payload["delete_processed"] and data_path:
@@ -228,10 +352,13 @@ def _execute_trial(payload: dict) -> dict:
             full = os.path.join(data_path, proc_dir)
             if os.path.exists(full):
                 shutil.rmtree(full)
-    return {
+    rec = {
         "trial": t, "config": cfg, "best_val": best_val,
         "history": history, "seconds": time.time() - t0,
     }
+    if denv:
+        rec["device_env"] = denv
+    return rec
 
 
 def _rung_checks(rung_epochs, results) -> list[tuple[int, float]]:
@@ -258,14 +385,24 @@ def tune_setup(
     """Run the search; returns {"config", "best_val", "trial"} of the winner
     (reference tune_setup, training/training.py:981-1065).
 
+    Search: `hyper_search: "tpe"` (default — the reference's HyperOptSearch
+    role with 5 random initial points, training.py:1004-1007) or
+    `"random"` (uniform + median-rule stopping only).
+
     Concurrency and fault tolerance match the reference's Ray runner:
     `hyper_concurrency` trials run in parallel worker processes
     (config.yml:50; reference training.py:1006) and up to `max_failures`
     crashed trials are tolerated and recorded before the sweep aborts
-    (reference training.py:1051). Failed trials are retried on resume.
-    On a single TPU chip, worker processes cannot share the device, so
-    concurrency >1 falls back to serial unless more than one process can
-    own a chip (set MDL_HYPER_FORCE_CONCURRENCY=1 to override)."""
+    (reference training.py:1051). On a multi-chip TPU host each concurrent
+    trial is pinned to its own chip (TPU_VISIBLE_CHIPS per fresh worker
+    process — the TPU analog of Ray's 1-GPU-per-trial, training.py:1034);
+    a single chip serves one process, so concurrency >1 falls back to
+    serial there (set MDL_HYPER_FORCE_CONCURRENCY=1 to override).
+
+    Resume: completed trials are skipped; an interrupted trial whose
+    `trial_<t>.ckpt` exists continues mid-training from its recorded epoch
+    with its originally sampled config (persisted as a "started" record);
+    failed trials without a checkpoint are retried from scratch."""
     job_name = str(job_parameters.get("job_name", "hyper_job"))
     trials = int(job_parameters.get("hyper_trials", 10))
     report_every = int(job_parameters.get("hyper_iter", 1))
@@ -274,23 +411,39 @@ def tune_setup(
     seed = int(job_parameters.get("seed") or np.random.randint(1, 1_000_000))
     concurrency = int(job_parameters.get("hyper_concurrency", 1))
     max_failures = int(job_parameters.get("max_failures", 4))
+    search = str(job_parameters.get("hyper_search", "tpe")).lower()
 
+    n_chips = 1
+    tpu_backend = False
     if concurrency > 1:
         import jax as _jax
 
-        if (_jax.default_backend() == "tpu"
-                and not os.environ.get("MDL_HYPER_FORCE_CONCURRENCY")):
-            print(
-                f"hyper_concurrency={concurrency} requested but a single TPU "
-                "chip can only serve one process; running trials serially"
-            )
-            concurrency = 1
+        tpu_backend = _jax.default_backend() == "tpu"
+        if tpu_backend:
+            n_chips = len(_jax.devices())
+            if (n_chips <= 1
+                    and not os.environ.get("MDL_HYPER_FORCE_CONCURRENCY")):
+                print(
+                    f"hyper_concurrency={concurrency} requested but this "
+                    "host has one TPU chip, which serves one process; "
+                    "running trials serially"
+                )
+                concurrency = 1
+            elif n_chips > 1:
+                concurrency = min(concurrency, n_chips)
+                print(
+                    f"pinning {concurrency} concurrent trials to one TPU "
+                    f"chip each ({n_chips} chips visible)"
+                )
 
     tdir = _trial_dir(job_name)
     log_path = os.path.join(tdir, "trials.jsonl")
     done = _load_completed(log_path) if resume else []
     # Failed records don't block a retry on resume.
     done_ids = {d["trial"] for d in done if "best_val" in d}
+    # Config each trial started with (for mid-training resume).
+    started_cfgs = {d["trial"]: d["config"] for d in done
+                    if d.get("event") == "started"}
     if not resume and os.path.exists(log_path):
         os.remove(log_path)
         done = []
@@ -304,9 +457,19 @@ def tune_setup(
 
     def payload_for(t: int) -> dict:
         rng = np.random.default_rng(seed + 1000 * t)
-        cfg = sample_space(search_space, rng)
+        ckpt = os.path.join(tdir, f"trial_{t}.ckpt")
+        resume_trial = bool(
+            resume and t in started_cfgs and os.path.exists(ckpt)
+        )
+        if resume_trial:
+            cfg = started_cfgs[t]
+        elif search == "tpe":
+            cfg = suggest_tpe(search_space, results, rng)
+        else:
+            cfg = sample_space(search_space, rng)
         return {
             "trial": t, "config": cfg, "seed": seed, "stamp": stamp,
+            "resume_trial": resume_trial,
             "data_path": data_path,
             # ship the in-memory dataset only when there's no path to load
             # from (worker processes reload via the npz cache instead)
@@ -316,7 +479,7 @@ def tune_setup(
             "delete_processed": delete_processed,
             "report_every": report_every,
             "rung_checks": _rung_checks(rung_epochs, results),
-            "checkpoint_path": os.path.join(tdir, f"trial_{t}.ckpt"),
+            "checkpoint_path": ckpt,
             "job_parameters": dict(job_parameters),
             "training_parameters": dict(training_parameters),
             "model_parameters": dict(model_parameters),
@@ -328,11 +491,18 @@ def tune_setup(
             results.append(rec)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if rec.get("event") == "started":
+            return
         if "best_val" in rec:
             print(f"Trial {rec['trial']}: val={rec['best_val']:.5f} "
                   f"config={rec['config']}")
         else:
             print(f"Trial {rec['trial']} FAILED: {rec['error']}")
+
+    def record_start(p: dict):
+        if not p["resume_trial"]:
+            record({"trial": p["trial"], "config": p["config"],
+                    "event": "started"})
 
     pending = [t for t in range(trials) if t not in done_ids]
     failures = 0
@@ -344,6 +514,7 @@ def tune_setup(
             p = payload_for(t)
             if dataset is not None and not needs_reprocess:
                 p["dataset"] = dataset
+            record_start(p)
             try:
                 record(_execute_trial(p))
             except Exception as e:  # noqa: BLE001 — trial crash tolerance
@@ -359,18 +530,31 @@ def tune_setup(
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
+        # One device slot per in-flight trial; max_tasks_per_child=1 gives
+        # every trial a fresh worker process so its device_env applies
+        # before the backend initializes in that process.
+        slots = list(range(concurrency))
+
+        def device_env(slot: int) -> dict:
+            env = {"MDL_TRIAL_SLOT": str(slot)}
+            if tpu_backend and n_chips > 1:
+                env["TPU_VISIBLE_CHIPS"] = str(slot)
+            return env
+
         with cf.ProcessPoolExecutor(
-            max_workers=concurrency, mp_context=ctx
+            max_workers=concurrency, mp_context=ctx, max_tasks_per_child=1
         ) as pool:
             running: dict = {}
             it = iter(pending)
             abort = None
             while True:
-                while abort is None and len(running) < concurrency:
+                while abort is None and len(running) < concurrency and slots:
                     t = next(it, None)
                     if t is None:
                         break
                     p = payload_for(t)
+                    p["device_env"] = device_env(slots.pop(0))
+                    record_start(p)
                     running[pool.submit(_execute_trial, p)] = p
                 if not running:
                     break
@@ -379,6 +563,7 @@ def tune_setup(
                 )
                 for fut in ready:
                     p = running.pop(fut)
+                    slots.append(int(p["device_env"]["MDL_TRIAL_SLOT"]))
                     try:
                         record(fut.result())
                     except Exception as e:  # noqa: BLE001 — crash tolerance

@@ -35,9 +35,12 @@ def _job(name, **kw):
             "seed": 5, "max_failures": 4, **kw}
 
 
-def _records(job_name):
+def _records(job_name, events=False):
     with open(os.path.join("results", job_name, "trials.jsonl")) as f:
-        return [json.loads(l) for l in f if l.strip()]
+        recs = [json.loads(l) for l in f if l.strip()]
+    if events:
+        return recs
+    return [r for r in recs if r.get("event") != "started"]
 
 
 def test_concurrent_sweep_survives_worker_crashes(toy_data_dir, toy_dataset,
