@@ -182,7 +182,7 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
         idx = np.arange(len(ds), dtype=np.int64)
         tr, va = idx[: int(0.9 * len(ds))], idx[int(0.9 * len(ds)):]
         times = {}
-        for kern in ("pallas", "xla"):
+        for kern in ("fused", "pallas", "xla"):
             mp = {"model": "CGCNN", "dim1": 100, "dim2": 150,
                   "pre_fc_count": 1, "gc_count": 4, "post_fc_count": 3,
                   "batch_size": batch, "epochs": epochs, "lr": 0.002,
@@ -205,8 +205,10 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
             times[kern] = (time.time() - t0) / epochs
             log(f"bulk {kern}: {times[kern]:.3f} s/epoch")
         return {
+            "bulk_epoch_s_fused": round(times["fused"], 4),
             "bulk_epoch_s_pallas": round(times["pallas"], 4),
             "bulk_epoch_s_xla": round(times["xla"], 4),
+            "bulk_fused_speedup": round(times["xla"] / times["fused"], 3),
             "bulk_pallas_speedup": round(times["xla"] / times["pallas"], 3),
             "bulk_edges_per_batch": round(edges_per_batch),
         }

@@ -1,0 +1,246 @@
+"""Bulk-scale north star: epochs/hr on a bulk_data-sized corpus.
+
+The reference's flagship dataset is 46,744 Materials Project structures
+(formation energy; /root/reference/data/bulk_data/mp-ids-46744.csv,
+data/README.md:5). The MP API is unreachable from this environment, so the
+corpus here is synthetic at the same scale with an MP-like size skew
+(lognormal atom counts, median ~28, tail to 250) built through the real
+featurizer — the workload shape (graph sizes, degree, feature widths) is
+what throughput depends on, not the target values.
+
+Measures CGCNN (demo config) on one TPU chip across the r2-verdict matrix:
+
+  * in-memory  x padded   (kernel=auto -> fused Pallas CGConv)
+  * in-memory  x padded   (kernel=xla — the fused-vs-XLA anchor at scale)
+  * in-memory  x packed   (budget-packed batches)
+  * in-memory  x padded   (precision=bf16)
+  * streaming  x padded   (dataset_type "large" path: host-assembled
+                           batches; also profiles host assembly vs device
+                           step so starvation is measurable)
+
+Writes BULK.json (one record per config: s/epoch, epochs/hr, edges/s/chip,
+MFU/HBM utilization from the XLA cost model) — the summary table lives in
+BULK.md. Corpus and its windowed layout are cached under datasets/bulk_cache/
+(gitignored; ~1.2 GB).
+
+Usage: python bench_bulk.py [--n 46744] [--epochs 3] [--configs all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "datasets", "bulk_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_corpus(n: int, seed: int = 0):
+    """46k-scale GraphDataset with MP-like size skew, disk-cached."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"bulk_{n}_{seed}.npz")
+    from matdeeplearn_tpu.data.dataset import GraphDataset
+
+    if os.path.exists(path):
+        log(f"corpus cache hit: {path}")
+        d = np.load(path, allow_pickle=False)
+        return GraphDataset(
+            node_x=d["node_x"], node_z=d["node_z"], edge_src=d["edge_src"],
+            edge_dst=d["edge_dst"], edge_weight=d["edge_weight"],
+            edge_dist_norm=d["edge_dist_norm"], node_ptr=d["node_ptr"],
+            edge_ptr=d["edge_ptr"], y=d["y"], u=d["u"],
+            structure_ids=[str(i) for i in range(len(d["y"]))],
+        )
+
+    from matdeeplearn_tpu.data import graphs as G
+    from matdeeplearn_tpu.data.structures import Structure
+
+    rng = np.random.default_rng(seed)
+    # MP-like skew: lognormal, median ~28 atoms, clipped [8, 250].
+    sizes = np.clip(
+        np.round(np.exp(rng.normal(np.log(28.0), 0.55, n))), 8, 250
+    ).astype(int)
+    log(f"building {n} structures: median {np.median(sizes):.0f} atoms, "
+        f"p95 {np.percentile(sizes, 95):.0f}, max {sizes.max()}")
+    atom_dict = G.default_atom_dictionary()
+    all_src, all_dst, all_dist, xs, zs = [], [], [], [], []
+    t0 = time.time()
+    for i, na in enumerate(sizes):
+        cell = np.eye(3) * max(7.0, 2.2 * na ** (1.0 / 3.0) * 1.6)
+        s = Structure(rng.integers(1, 90, na), rng.random((na, 3)) @ cell,
+                      cell, np.ones(3, bool), str(i))
+        src, dst, dist = G.build_graph(s, radius=8.0, max_neighbors=12)
+        all_src.append(src)
+        all_dst.append(dst)
+        all_dist.append(dist)
+        base = G.node_features(s.numbers, atom_dict)
+        deg = G.one_hot_degree(src, na, 13)
+        xs.append(np.concatenate([base, deg], axis=1).astype(np.float32))
+        zs.append(s.numbers)
+        if (i + 1) % 5000 == 0:
+            log(f"  {i + 1}/{n} ({time.time() - t0:.0f}s)")
+    normed, _, _ = G.normalize_edges(all_dist)
+    node_ptr = np.concatenate([[0], np.cumsum(sizes)])
+    edge_ptr = np.concatenate([[0], np.cumsum([len(e) for e in all_src])])
+    arrays = dict(
+        node_x=np.concatenate(xs).astype(np.float32),
+        node_z=np.concatenate(zs).astype(np.int32),
+        edge_src=np.concatenate(all_src).astype(np.int32),
+        edge_dst=np.concatenate(all_dst).astype(np.int32),
+        edge_weight=np.concatenate(all_dist).astype(np.float32),
+        edge_dist_norm=np.concatenate(normed).astype(np.float32),
+        node_ptr=node_ptr.astype(np.int64),
+        edge_ptr=edge_ptr.astype(np.int64),
+        y=rng.standard_normal((n, 1)).astype(np.float32),
+        u=np.zeros((n, 3), np.float32),
+    )
+    np.savez(path, **arrays)
+    log(f"corpus built in {time.time() - t0:.0f}s -> {path}")
+    return GraphDataset(structure_ids=[str(i) for i in range(n)], **arrays)
+
+
+MODEL = {"model": "CGCNN", "dim1": 100, "dim2": 150, "pre_fc_count": 1,
+         "gc_count": 4, "post_fc_count": 3, "pool": "global_mean_pool",
+         "batch_norm": "True", "act": "relu", "lr": 0.002,
+         "optimizer": "AdamW", "scheduler": "ReduceLROnPlateau"}
+
+
+def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
+    import jax
+
+    from matdeeplearn_tpu.training import jobs as J
+    from matdeeplearn_tpu.utils.profiling import ThroughputMeter
+
+    dataset = ds
+    if stream_dir is not None:
+        from matdeeplearn_tpu.data.streaming import load_or_create_sharded
+
+        dataset = load_or_create_sharded(ds, stream_dir)
+    mp = {**MODEL, "batch_size": batch, "epochs": epochs, **extra}
+    t0 = time.time()
+    run = J.setup_run(dataset, mp, "l1_loss", seed=7, print_model=False)
+    setup_s = time.time() - t0
+    meter = ThroughputMeter(
+        num_devices=1,
+        edges_per_epoch=float(np.asarray(ds.edge_counts())[tr].sum()),
+        graphs_per_epoch=float(len(tr)),
+    )
+    t0 = time.time()
+    _, last, _ = J.run_fused_training(
+        run, train_idx=tr, val_idx=va, epochs=1, verbosity=1, seed=7,
+        meter=meter,
+    )
+    jax.block_until_ready(last.params)
+    warm_s = time.time() - t0
+    run.state = last
+    t0 = time.time()
+    _, last, _ = J.run_fused_training(
+        run, train_idx=tr, val_idx=va, epochs=epochs, verbosity=epochs,
+        seed=8, meter=meter,
+    )
+    jax.block_until_ready(last.params)
+    sec_per_epoch = (time.time() - t0) / epochs
+    rates = meter.rates()
+    rec = {
+        "config": name, "s_per_epoch": round(sec_per_epoch, 3),
+        "epochs_per_hr": round(3600.0 / sec_per_epoch, 1),
+        "edges_per_s_per_chip": rates.get("edges_per_s_per_chip"),
+        "graphs_per_s": rates.get("graphs_per_s"),
+        "step_ms": rates.get("step_ms"),
+        "mfu_pct": rates.get("mfu_pct"),
+        "hbm_util_pct": rates.get("hbm_util_pct"),
+        "model_flops_per_s": rates.get("model_flops_per_s"),
+        "setup_s": round(setup_s, 1), "warmup_s": round(warm_s, 1),
+    }
+    if stream_dir is not None:
+        # Host-assembly profile: can the host feed the chip?
+        from matdeeplearn_tpu.data.batching import BatchSpec
+
+        sds = run.streaming if run.streaming is not None else dataset
+        spec = run.spec
+        ids = np.asarray(tr[: batch * 8]).reshape(8, batch)
+        t0 = time.time()
+        for row in ids:
+            sds.assemble(row, spec)
+        rec["stream_assembly_ms_per_batch"] = round(
+            (time.time() - t0) / 8 * 1e3, 2
+        )
+    log(f"{name}: {json.dumps(rec)}")
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=46744)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--configs", default="all",
+                    help="comma list: fused,xla,packed,bf16,stream")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log("devices:", jax.devices())
+
+    ds = build_corpus(args.n)
+    ec = np.asarray(ds.edge_counts())
+    log(f"corpus: {len(ds)} graphs, {ec.sum():,} edges, "
+        f"mean {ec.mean():.0f} edges/graph")
+    idx = np.arange(len(ds), dtype=np.int64)
+    rng = np.random.default_rng(0)
+    rng.shuffle(idx)
+    n_tr = int(0.95 * len(idx))
+    tr, va = idx[:n_tr], idx[n_tr:]
+
+    wanted = (args.configs.split(",") if args.configs != "all"
+              else ["fused", "xla", "packed", "bf16", "stream"])
+    recs = []
+    for name in wanted:
+        extra, sdir = {}, None
+        if name == "fused":
+            extra = {"kernel": "auto"}
+        elif name == "xla":
+            extra = {"kernel": "xla"}
+        elif name == "packed":
+            extra = {"kernel": "xla", "batching": "packed"}
+        elif name == "bf16":
+            extra = {"kernel": "xla", "precision": "bf16"}
+        elif name == "stream":
+            extra = {"kernel": "xla"}
+            sdir = os.path.join(CACHE, f"shards_{args.n}")
+        try:
+            recs.append(run_config(
+                f"{'streaming' if sdir else 'in-memory'}/"
+                f"{extra.get('batching', 'padded')}/"
+                f"{extra.get('kernel')}"
+                + ("/bf16" if name == "bf16" else ""),
+                ds, extra, tr, va, args.batch, args.epochs, stream_dir=sdir,
+            ))
+        except Exception as e:
+            import traceback
+
+            log(f"config {name} FAILED: {e}\n{traceback.format_exc()}")
+            recs.append({"config": name, "error": repr(e)})
+
+    out = {"n_structures": args.n, "batch": args.batch,
+           "epochs_timed": args.epochs,
+           "total_edges": int(ec.sum()), "records": recs}
+    with open(os.path.join(REPO, "BULK.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -161,6 +161,10 @@ class GraphBatch(struct.PyTreeNode):
     # single-pass bf16 MXU aggregation (kernel_precision: "bf16") instead of
     # the f32-accurate hi/lo split — half the MXU work, ~2e-3 relative error
     kernel_bf16: bool = struct.field(pytree_node=False, default=False)
+    # kernel: "fused" — CGConv runs the fused message-MLP Pallas kernel
+    # (ops/pallas_fused.py): gate/core MLPs + edge basis + aggregation in
+    # one MXU pass, z/gate/core/messages never hitting HBM
+    kernel_fused: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def edge_dst_safe(self) -> jax.Array:
@@ -292,6 +296,7 @@ def assemble_batch_windowed(
     tw: int,
     te: int,
     bf16: bool = False,
+    fused: bool = False,
 ) -> GraphBatch:
     """Windowed-batch assembly: like assemble_batch but nodes occupy
     window-padded slots (graph g starts at a multiple of tw) and edges are
@@ -386,6 +391,7 @@ def assemble_batch_windowed(
         in_degree=in_degree,
         window_size=tw,
         kernel_bf16=bf16,
+        kernel_fused=fused,
     )
 
 

@@ -37,7 +37,8 @@ class CGCNN(GNNBase):
         edge_attr = self.edge_features(batch)
         out = self.apply_pre_fc(batch.x)
         for i in range(self.gc_count):
-            out = CGConv(self.gc_dim, name=f"conv{i}")(out, batch, edge_attr)
+            out = CGConv(self.gc_dim, edge_width=self.edge_width,
+                         name=f"conv{i}")(out, batch, edge_attr)
             if self.batch_norm:
                 out = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -32,14 +32,72 @@ from matdeeplearn_tpu.ops import segment
 from matdeeplearn_tpu.ops.aggregate import edge_aggregate, edge_segment_mean
 
 
+class _LinearParams(nn.Module):
+    """Declares Linear's exact parameter tree (kernel+bias, same init, same
+    scope path) without running the dense op — the fused CGConv kernel
+    consumes the raw matrices, so checkpoints/golden tests stay identical
+    across kernel modes."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        from matdeeplearn_tpu.nn.layers import torch_linear_init
+
+        init = torch_linear_init(self.fan_in)
+        k = self.param("kernel", init, (self.fan_in, self.features))
+        b = self.param("bias", init, (self.features,))
+        return k, b
+
+
 class CGConv(nn.Module):
     """Crystal-graph conv: out_i = x_i + mean_{j→i} σ(W_f z) ⊙ softplus(W_s z),
-    z = [x_i ‖ x_j ‖ e_ij]. aggr="mean", no internal BN (cgcnn.py:80-82)."""
+    z = [x_i ‖ x_j ‖ e_ij]. aggr="mean", no internal BN (cgcnn.py:80-82).
+
+    kernel="fused" (batch.kernel_fused on a windowed batch): the gate/core
+    MLPs, the Gaussian edge basis and the aggregation run as ONE Pallas MXU
+    kernel (ops/pallas_fused.py) — z, gate, core and the messages never
+    exist in HBM, and the windowed layout's pad edge slots never reach an
+    XLA-level MLP (the r2 KERNELS.md fix)."""
 
     dim: int
+    edge_width: float = 0.2
 
     @nn.compact
     def __call__(self, x, batch, edge_attr):
+        if batch.is_windowed and batch.kernel_fused:
+            from matdeeplearn_tpu.ops import pallas_fused as PF
+            from matdeeplearn_tpu.ops.pallas_segment import WindowedEdges
+
+            d = self.dim
+            de = edge_attr.shape[-1]
+            din = 2 * d + de
+            kf, bf = _LinearParams(d, din, name="lin_f")()
+            ks, bs = _LinearParams(d, din, name="lin_s")()
+            # z = [x_i ‖ x_j ‖ e] → row blocks of the weight matrices
+            wfi, wfj, wfe = kf[:d], kf[d:2 * d], kf[2 * d:]
+            wsi, wsj, wse = ks[:d], ks[d:2 * d], ks[2 * d:]
+            dt = x.dtype
+            xf = x.astype(jnp.float32)
+            xj = xf[batch.edge_src]
+            te = batch.num_edges // batch.tile_window.shape[0]
+            we = WindowedEdges(
+                order=batch.edge_dst, dst=batch.edge_dst,
+                window_id=batch.tile_window, first_tile=batch.tile_first,
+                valid=batch.edge_mask,
+            )
+            interpret = jax.default_backend() != "tpu"
+            cfg = (batch.num_nodes, batch.window_size, te, de,
+                   self.edge_width, interpret, not batch.kernel_bf16)
+            agg = PF.fused_cgconv(
+                cfg, xf, xj, batch.edge_dist_norm, we,
+                wfi, wfj, wfe, bf[None, :], wsi, wsj, wse, bs[None, :],
+            )
+            agg = jnp.where(batch.node_mask[:, None] > 0, agg, 0.0)
+            agg = agg / jnp.maximum(batch.in_degree, 1.0)[:, None]
+            return x + agg.astype(dt)
+
         z = jnp.concatenate(
             [x[batch.edge_dst_safe], x[batch.edge_src], edge_attr], axis=-1
         )  # [x_i, x_j, e] — PyG CGConv concat order

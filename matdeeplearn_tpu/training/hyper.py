@@ -318,6 +318,16 @@ def _execute_trial(payload: dict) -> dict:
     denv = payload.get("device_env") or {}
     if denv:
         os.environ.update({k: str(v) for k, v in denv.items()})
+        if "JAX_PLATFORMS" in denv:
+            # Some TPU plugins (axon) register regardless of the env var;
+            # pin the platform through jax.config before backend init so a
+            # CPU-parent sweep's workers can never grab the TPU.
+            import jax as _jax
+
+            try:
+                _jax.config.update("jax_platforms", str(denv["JAX_PLATFORMS"]))
+            except Exception:
+                pass
     t = payload["trial"]
     cfg = payload["config"]
     data_path = payload["data_path"]
@@ -539,6 +549,13 @@ def tune_setup(
             env = {"MDL_TRIAL_SLOT": str(slot)}
             if tpu_backend and n_chips > 1:
                 env["TPU_VISIBLE_CHIPS"] = str(slot)
+            elif not tpu_backend:
+                # CPU parent: workers must stay on CPU even when a TPU
+                # plugin force-registers (it would serialize every worker
+                # on — or crash — the one chip).
+                import jax as _jax
+
+                env["JAX_PLATFORMS"] = _jax.default_backend()
             return env
 
         with cf.ProcessPoolExecutor(

@@ -106,15 +106,33 @@ def setup_run(
                     "windowed layout")
         print(f"kernel=pallas requested but unavailable ({why}); "
               "using the XLA scatter path")
-    # Measured verdict (KERNELS.md): the windowed kernel beats XLA's scatter
-    # in isolation (x1.6-2.8 at 262k-1M edges on v5e) but loses END-TO-END
-    # in fused training on every workload tried (x0.84 small-graph bulk,
-    # x0.69 large-structure) — the windowed layout's extra padded slots run
-    # through every conv MLP and the opaque pallas_call blocks XLA's
-    # cross-op scheduling. So "auto" takes the XLA path; "pallas" remains a
-    # fully-tested explicit opt-in (with kernel_tw/kernel_te/
-    # kernel_precision tuning knobs) for workloads that prove out.
-    use_windowed = eligible and kernel == "pallas"
+    # Measured verdicts (KERNELS.md):
+    #   r2 — the plain windowed aggregation kernel beats XLA's scatter in
+    #   isolation (x1.6-2.8 at 262k-1M edges on v5e) but LOSES end-to-end
+    #   (x0.84/x0.69): pad slots run through every XLA-level conv MLP and
+    #   the opaque pallas_call blocks cross-op scheduling.
+    #   r3 — kernel="fused" moves CGConv's message MLPs + edge basis +
+    #   aggregation INTO one Pallas kernel (ops/pallas_fused.py): z/gate/
+    #   core/messages never exist in HBM and pad slots never reach an XLA
+    #   MLP. Measured end-to-end wins on all three v5e workloads: x3.5 at
+    #   test_data scale (~9k edges/batch), x1.05 small-graph bulk (~178k),
+    #   x1.15 large-structure (~214k, tw=te=512) — so "auto" resolves to
+    #   the fused kernel for CGCNN (padded batching), XLA otherwise.
+    #   "pallas" keeps the r2 aggregation-only kernel as an opt-in.
+    batching_req = str(model_parameters.get("batching", "padded")).lower()
+    # auto resolves per backend: the fused kernel's wins are TPU
+    # measurements; on CPU it would run in (slow) interpret mode, so auto
+    # stays XLA there. Explicit kernel="fused"/"pallas" is honored anywhere.
+    fused_mode = eligible and (
+        kernel == "fused"
+        or (kernel == "auto" and model_name == "CGCNN"
+            and batching_req != "packed"
+            and jax.default_backend() == "tpu")
+    )
+    use_windowed = eligible and (kernel == "pallas" or fused_mode)
+    if kernel == "fused" and model_name != "CGCNN" and eligible:
+        print("kernel=fused applies to CGCNN's CGConv; other models run "
+              "the windowed aggregation kernel (kernel=pallas behavior)")
 
     if use_windowed:
         from matdeeplearn_tpu.data.batching import (
@@ -143,7 +161,7 @@ def setup_run(
         kbf16 = (str(model_parameters.get("kernel_precision", "f32")).lower()
                  == "bf16")
         assemble_fn = lambda d, i: assemble_batch_windowed(
-            d, d.windowed, i, spec, tw, te, bf16=kbf16
+            d, d.windowed, i, spec, tw, te, bf16=kbf16, fused=fused_mode,
         )
     elif is_stream:
         # align=8*ep like the non-streaming paths: _slice_edge_shard and the

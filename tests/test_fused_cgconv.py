@@ -1,0 +1,140 @@
+"""Fused message-MLP CGConv Pallas kernel (ops/pallas_fused.py) — fwd/bwd
+parity against the pure-XLA composition, and end-to-end kernel=fused
+training parity vs kernel=xla (VERDICT r2 next-step #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matdeeplearn_tpu.data.batching import (
+    BatchSpec,
+    DeviceDataset,
+    WindowedDeviceData,
+    assemble_batch_windowed,
+)
+from matdeeplearn_tpu.ops import pallas_fused as PF
+from matdeeplearn_tpu.ops.pallas_segment import WindowedEdges
+from matdeeplearn_tpu.training import jobs as J
+from matdeeplearn_tpu.training import train as T
+
+
+def _windowed_batch(ds, n=8, fused=True):
+    layout = ds.windowed_layout()
+    tw, te = layout.tw, layout.te
+    spec = BatchSpec.for_dataset(
+        layout.node_counts_w, layout.wedge_counts, n, align=tw, align_edges=te
+    )
+    data = DeviceDataset.from_graph_dataset(ds).replace(
+        windowed=WindowedDeviceData.from_layout(layout)
+    )
+    ids = jnp.asarray(np.arange(min(n, len(ds)), dtype=np.int32))
+    ids = jnp.pad(ids, (0, spec.num_graphs - ids.shape[0]), constant_values=-1)
+    batch = assemble_batch_windowed(data, data.windowed, ids, spec, tw, te,
+                                    fused=fused)
+    return batch, tw, te
+
+
+def _params(key, d, de):
+    ks = jax.random.split(key, 8)
+    din = 2 * d + de
+    sc = 0.3
+    return (
+        sc * jax.random.normal(ks[0], (d, d)),
+        sc * jax.random.normal(ks[1], (d, d)),
+        sc * jax.random.normal(ks[2], (de, d)),
+        sc * jax.random.normal(ks[3], (1, d)),
+        sc * jax.random.normal(ks[4], (d, d)),
+        sc * jax.random.normal(ks[5], (d, d)),
+        sc * jax.random.normal(ks[6], (de, d)),
+        sc * jax.random.normal(ks[7], (1, d)),
+    )
+
+
+def _setup_op(toy_dataset, d=16, de=20, width=0.2):
+    batch, tw, te = _windowed_batch(toy_dataset)
+    n = batch.num_nodes
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d)) * batch.node_mask[:, None]
+    params = _params(jax.random.PRNGKey(1), d, de)
+    we = WindowedEdges(order=batch.edge_dst, dst=batch.edge_dst,
+                       window_id=batch.tile_window,
+                       first_tile=batch.tile_first, valid=batch.edge_mask)
+    xj = x[batch.edge_src]
+    cfg = (n, tw, te, de, width, True, True)  # interpret, hilo
+    return batch, x, xj, we, params, cfg, de, width
+
+
+def test_fused_forward_matches_xla_composition(toy_dataset):
+    batch, x, xj, we, params, cfg, de, width = _setup_op(toy_dataset)
+    out = PF.fused_cgconv(cfg, x, xj, batch.edge_dist_norm, we, *params)
+    ref = PF._reference_compose(x, xj, batch.edge_dist_norm, we, params,
+                                batch.num_nodes, de, width)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_backward_matches_xla_composition(toy_dataset):
+    batch, x, xj, we, params, cfg, de, width = _setup_op(toy_dataset)
+    gkey = jax.random.PRNGKey(7)
+
+    def loss_fused(x_, xj_, *p):
+        out = PF.fused_cgconv(cfg, x_, xj_, batch.edge_dist_norm, we, *p)
+        return jnp.sum(out * jax.random.normal(gkey, out.shape))
+
+    def loss_ref(x_, xj_, *p):
+        out = PF._reference_compose(x_, xj_, batch.edge_dist_norm, we, p,
+                                    batch.num_nodes, de, width)
+        return jnp.sum(out * jax.random.normal(gkey, out.shape))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(2 + len(params))))(
+        x, xj, *params
+    )
+    gr = jax.grad(loss_ref, argnums=tuple(range(2 + len(params))))(
+        x, xj, *params
+    )
+    names = ["x", "xj", "wfi", "wfj", "wfe", "bf", "wsi", "wsj", "wse", "bs"]
+    for name, a, b in zip(names, gf, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5 * scale,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_training_matches_xla_training(toy_dataset):
+    """kernel=fused end-to-end: identical param tree (checkpoint compat)
+    and a training trajectory matching kernel=xla within interpret-mode
+    numerics."""
+    runs = {}
+    for kern in ("fused", "xla"):
+        mp = {"model": "CGCNN", "dim1": 16, "dim2": 16, "gc_count": 2,
+              "post_fc_count": 1, "batch_size": 8, "epochs": 6, "lr": 0.01,
+              "optimizer": "AdamW", "scheduler": "ReduceLROnPlateau",
+              "kernel": kern, "batch_norm": "True"}
+        run = J.setup_run(toy_dataset, mp, "l1_loss", seed=0,
+                          print_model=False)
+        idx = np.arange(len(toy_dataset))
+        best, last, _ = J.run_fused_training(
+            run, train_idx=idx[:10], val_idx=idx[10:], epochs=6,
+            verbosity=6, seed=0,
+        )
+        err = T.evaluate_scan(run.eval_epoch_fn, last, run.data, idx[:10],
+                              run.global_batch)
+        runs[kern] = (run, last, err)
+
+    pf, px = runs["fused"][1].params, runs["xla"][1].params
+    fl, xl = jax.tree_util.tree_leaves_with_path(pf), \
+        jax.tree_util.tree_leaves_with_path(px)
+    assert [p for p, _ in fl] == [p for p, _ in xl], "param trees differ"
+    assert np.isfinite(runs["fused"][2])
+    np.testing.assert_allclose(runs["fused"][2], runs["xla"][2],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_flag_requires_cgcnn_eligibility(toy_dataset, capsys):
+    mp = {"model": "SchNet", "dim1": 16, "dim2": 16, "dim3": 16,
+          "gc_count": 1, "post_fc_count": 1, "batch_size": 8,
+          "kernel": "fused"}
+    J.setup_run(toy_dataset, mp, "l1_loss", seed=0, print_model=False)
+    assert "kernel=fused applies to CGCNN" in capsys.readouterr().out

@@ -89,7 +89,14 @@ def test_hyperparameter_search(toy_dataset, jobdir):
     assert "config" in best and np.isfinite(best["best_val"])
     log = jobdir / "results" / "hp" / "trials.jsonl"
     assert log.exists()
-    assert len(log.read_text().strip().splitlines()) == 2
+
+    def _results():
+        import json as _json
+
+        recs = [_json.loads(l) for l in log.read_text().strip().splitlines()]
+        return [r for r in recs if r.get("event") != "started"]
+
+    assert len(_results()) == 2
 
     # resume skips completed trials
     best2 = H.tune_setup(
@@ -99,7 +106,7 @@ def test_hyperparameter_search(toy_dataset, jobdir):
         {}, TP, {**MP, "epochs": 4},
         dataset=toy_dataset,
     )
-    assert len(log.read_text().strip().splitlines()) == 2
+    assert len(_results()) == 2
     assert best2["best_val"] == best["best_val"]
 
 
