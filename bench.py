@@ -85,7 +85,10 @@ def main():
 
     # Timed: 50 epochs in K-sized fused dispatches, with MFU/roofline
     # accounting from the XLA cost model (utils/profiling.py).
-    from matdeeplearn_tpu.utils.profiling import ThroughputMeter
+    from matdeeplearn_tpu.utils.profiling import (
+        ThroughputMeter,
+        attach_analytic_flops,
+    )
 
     n_epochs = 50
     run.state = last
@@ -95,6 +98,8 @@ def main():
         graphs_per_epoch=float(len(train_idx)),
         warmup_chunks=0,  # compile already happened in the warmup run
     )
+    attach_analytic_flops(meter, run.model_name, run.model_config, run.spec,
+                          len(train_idx), len(val_idx), run.global_batch)
     t0 = time.time()
     best, last, sched = J.run_fused_training(
         run, train_idx=train_idx, val_idx=val_idx, epochs=n_epochs,

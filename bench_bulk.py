@@ -118,7 +118,10 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
     import jax
 
     from matdeeplearn_tpu.training import jobs as J
-    from matdeeplearn_tpu.utils.profiling import ThroughputMeter
+    from matdeeplearn_tpu.utils.profiling import (
+        ThroughputMeter,
+        attach_analytic_flops,
+    )
 
     dataset = ds
     if stream_dir is not None:
@@ -134,6 +137,8 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
         edges_per_epoch=float(np.asarray(ds.edge_counts())[tr].sum()),
         graphs_per_epoch=float(len(tr)),
     )
+    attach_analytic_flops(meter, run.model_name, run.model_config, run.spec,
+                          len(tr), len(va), batch)
     t0 = time.time()
     _, last, _ = J.run_fused_training(
         run, train_idx=tr, val_idx=va, epochs=1, verbosity=1, seed=7,
@@ -204,17 +209,26 @@ def main():
     n_tr = int(0.95 * len(idx))
     tr, va = idx[:n_tr], idx[n_tr:]
 
+    # Padded batches at MP-size skew must stay small: BatchSpec.for_dataset
+    # sizes every batch for the B LARGEST graphs (64k nodes / 837k edge
+    # slots at B=256 on this corpus — backward residuals then overflow the
+    # chip). Packed batching exists precisely for this skew and runs the
+    # full 256. Measured finding, recorded in BULK.md.
     wanted = (args.configs.split(",") if args.configs != "all"
               else ["fused", "xla", "packed", "bf16", "stream"])
     recs = []
     for name in wanted:
-        extra, sdir = {}, None
+        extra, sdir, batch = {}, None, min(args.batch, 64)
         if name == "fused":
             extra = {"kernel": "auto"}
         elif name == "xla":
             extra = {"kernel": "xla"}
         elif name == "packed":
             extra = {"kernel": "xla", "batching": "packed"}
+            batch = args.batch
+        elif name == "packed-fused":
+            extra = {"kernel": "fused", "batching": "packed"}
+            batch = args.batch
         elif name == "bf16":
             extra = {"kernel": "xla", "precision": "bf16"}
         elif name == "stream":
@@ -225,8 +239,9 @@ def main():
                 f"{'streaming' if sdir else 'in-memory'}/"
                 f"{extra.get('batching', 'padded')}/"
                 f"{extra.get('kernel')}"
-                + ("/bf16" if name == "bf16" else ""),
-                ds, extra, tr, va, args.batch, args.epochs, stream_dir=sdir,
+                + ("/bf16" if name == "bf16" else "")
+                + f"/b{batch}",
+                ds, extra, tr, va, batch, args.epochs, stream_dir=sdir,
             ))
         except Exception as e:
             import traceback

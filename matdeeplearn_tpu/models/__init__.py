@@ -25,7 +25,7 @@ _COMMON = {
     "num_features", "dim1", "dim2", "pre_fc_count", "gc_count",
     "post_fc_count", "pool", "pool_order", "batch_norm", "batch_track_stats",
     "act", "dropout_rate", "output_dim", "edge_resolution", "edge_width",
-    "precision",
+    "precision", "remat",
 }
 MODEL_FIELDS = {
     "CGCNN": _COMMON,
@@ -54,7 +54,7 @@ def build_model(name: str, dataset, hyperparams: dict):
     for k, v in (hyperparams or {}).items():
         if k not in fields:
             continue
-        if k in ("batch_norm", "batch_track_stats") and isinstance(v, str):
+        if k in ("batch_norm", "batch_track_stats", "remat") and isinstance(v, str):
             v = v == "True"
         if k == "precision":
             v = str(v).lower()

@@ -25,7 +25,12 @@ class GNNBase(nn.Module):
     # Subclasses must define these dataclass fields:
     #   num_features, dim1, dim2, pre_fc_count, gc_count, post_fc_count,
     #   pool, pool_order, batch_norm, batch_track_stats, act, dropout_rate,
-    #   output_dim, edge_resolution, edge_width, precision
+    #   output_dim, edge_resolution, edge_width, precision, remat
+    #
+    # remat=True wraps each conv block in jax.checkpoint (flax nn.remat):
+    # the backward recomputes conv activations instead of storing per-layer
+    # (E, 2D+De)-scale residuals — trades ~1 extra forward for O(layers)
+    # less HBM, the standard TPU recipe for memory-bound batch sizes.
 
     @property
     def compute_dtype(self):
@@ -120,4 +125,5 @@ COMMON_FIELDS = dict(
     edge_resolution=50,
     edge_width=0.2,
     precision="f32",
+    remat=False,
 )

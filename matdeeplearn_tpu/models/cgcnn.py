@@ -31,14 +31,16 @@ class CGCNN(GNNBase):
     edge_resolution: int = 50
     edge_width: float = 0.2
     precision: str = "f32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):
         edge_attr = self.edge_features(batch)
         out = self.apply_pre_fc(batch.x)
+        conv_cls = nn.remat(CGConv) if self.remat else CGConv
         for i in range(self.gc_count):
-            out = CGConv(self.gc_dim, edge_width=self.edge_width,
-                         name=f"conv{i}")(out, batch, edge_attr)
+            out = conv_cls(self.gc_dim, edge_width=self.edge_width,
+                           name=f"conv{i}")(out, batch, edge_attr)
             if self.batch_norm:
                 out = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -32,13 +32,15 @@ class GCN(GNNBase):
     edge_resolution: int = 50
     edge_width: float = 0.2
     precision: str = "f32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):
         fn = get_activation(self.act)
         out = self.apply_pre_fc(batch.x)
+        conv_cls = nn.remat(GCNConv) if self.remat else GCNConv
         for i in range(self.gc_count):
-            out = GCNConv(self.gc_dim, name=f"conv{i}")(out, batch)
+            out = conv_cls(self.gc_dim, name=f"conv{i}")(out, batch)
             if self.batch_norm:
                 out = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

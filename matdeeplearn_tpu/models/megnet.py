@@ -53,6 +53,7 @@ class MEGNet(GNNBase):
     edge_resolution: int = 50
     edge_width: float = 0.2
     precision: str = "f32"
+    remat: bool = False
 
     @property
     def post_fc_dim(self) -> int:  # MEGNet pools dim3-wide features
@@ -67,17 +68,21 @@ class MEGNet(GNNBase):
 
         out = self.apply_pre_fc(batch.x)
         x, e, u = out, None, None
+        # training is arg 5 of MEGNetBlock.__call__ (self=0) — static under
+        # remat so the checkpoint wrapper doesn't trace it as data.
+        block_cls = (nn.remat(MEGNetBlock, static_argnums=(5,))
+                     if self.remat else MEGNetBlock)
         for i in range(self.gc_count):
             e_in = edge_attr if i == 0 else e
             u_in = batch.u.astype(self.compute_dtype) if i == 0 else u
             e_temp = MLP((self.dim3, self.dim3), act="relu", name=f"e_embed{i}")(e_in)
             x_temp = MLP((self.dim3, self.dim3), act="relu", name=f"x_embed{i}")(x)
             u_temp = MLP((self.dim3, self.dim3), act="relu", name=f"u_embed{i}")(u_in)
-            x_out, e_out, u_out = MEGNetBlock(
+            x_out, e_out, u_out = block_cls(
                 self.dim3, self.gc_fc_count, act=self.act,
                 batch_norm=self.batch_norm, track_stats=self.batch_track_stats,
                 dropout_rate=self.dropout_rate, name=f"conv{i}",
-            )(x_temp, e_temp, u_temp, batch, training=training)
+            )(x_temp, e_temp, u_temp, batch, training)
             if i == 0:
                 x, e, u = x_out + x_temp, e_out + e_temp, u_out + u_temp
             else:

@@ -33,6 +33,7 @@ class MPNN(GNNBase):
     edge_resolution: int = 50
     edge_width: float = 0.2
     precision: str = "f32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):
@@ -40,6 +41,7 @@ class MPNN(GNNBase):
         fn = get_activation(self.act)
         out = self.apply_pre_fc(batch.x)
         h = out
+        conv_cls = nn.remat(NNConv) if self.remat else NNConv
         for i in range(self.gc_count):
             # Edge network: Linear(edge_dim, dim3) → ReLU → Linear(dim3, d²)
             # (mpnn.py:83-85).
@@ -49,7 +51,7 @@ class MPNN(GNNBase):
                 act_last=False,
                 name=f"edge_nn{i}",
             )
-            m = NNConv(self.gc_dim, edge_net, name=f"conv{i}")(out, batch, edge_attr)
+            m = conv_cls(self.gc_dim, edge_net, name=f"conv{i}")(out, batch, edge_attr)
             if self.batch_norm:
                 m = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -35,13 +35,16 @@ class SchNet(GNNBase):
     edge_resolution: int = 50
     edge_width: float = 0.2
     precision: str = "f32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):
         edge_attr = self.edge_features(batch)
         out = self.apply_pre_fc(batch.x)
+        conv_cls = (nn.remat(SchNetInteraction) if self.remat
+                    else SchNetInteraction)
         for i in range(self.gc_count):
-            out = out + SchNetInteraction(
+            out = out + conv_cls(
                 self.gc_dim, self.dim3, self.cutoff, name=f"conv{i}"
             )(out, batch, edge_attr)
             if self.batch_norm:

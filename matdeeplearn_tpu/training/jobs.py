@@ -548,9 +548,15 @@ def train_regular(
         run.state = state
 
     temp_path = job_parameters.get("temp_checkpoint_path", "my_model_temp.ckpt")
-    from matdeeplearn_tpu.utils.profiling import meter_for_training, trace
+    from matdeeplearn_tpu.utils.profiling import (
+        attach_analytic_flops,
+        meter_for_training,
+        trace,
+    )
 
     meter = meter_for_training(dataset, train_idx, mesh).start()
+    attach_analytic_flops(meter, run.model_name, run.model_config, run.spec,
+                          len(train_idx), len(val_idx), batch_size)
     with trace(
         job_parameters.get("profile_dir", f"{job_name}_profile"),
         enabled=str(job_parameters.get("profile")) == "True",

@@ -192,6 +192,72 @@ class ThroughputMeter:
         return msg
 
 
+def analytic_step_flops(model_name: str, cfg: dict, n_nodes: int,
+                        n_edges: int, n_graphs: int) -> float:
+    """Forward-pass matmul FLOPs of one padded batch (2·MAC convention,
+    dense layers only — gathers/scatters/elementwise don't count).
+
+    The XLA cost model is unreliable on the TPU backend (observed 100-1000x
+    under-reporting, and Pallas custom calls are opaque to it), so MFU uses
+    this analytic count — the same convention as the 6ND-style numbers in
+    LLM reporting. Training steps cost ~3x a forward (fwd + 2x bwd)."""
+    g = lambda k, d: int(cfg.get(k, d) or d)
+    F = g("num_features", 114)
+    D1, D2, D3 = g("dim1", 64), g("dim2", 64), g("dim3", 64)
+    De = g("edge_resolution", 50)
+    pre, gc, post = g("pre_fc_count", 1), g("gc_count", 3), g("post_fc_count", 1)
+    out = g("output_dim", 1)
+    N, E, B = float(n_nodes), float(n_edges), float(n_graphs)
+    D = D1 if pre > 0 else F
+
+    if model_name in ("SM", "SOAP"):
+        din = g("in_dim", 100)
+        fc = g("fc_count", 1)
+        return 2 * B * (din * D1 + fc * D1 * D1 + D1 * out)
+
+    f = 0.0
+    if pre > 0:
+        f += 2 * N * (F * D1 + (pre - 1) * D1 * D1)
+    if model_name == "CGCNN":
+        Z = 2 * D + De
+        f += gc * (2 * 2 * E * Z * D)                     # gate+core MLPs
+    elif model_name == "GCN":
+        f += gc * (2 * N * D * D)
+    elif model_name == "SchNet":
+        f += gc * (2 * E * (De * D3 + D3 * D3)            # filter MLP
+                   + 2 * N * (D * D3 + D3 * D + D * D))   # lin1/lin2/lin
+    elif model_name == "MPNN":
+        f += gc * (2 * E * (De * D3 + D3 * D * D)         # edge net
+                   + 2 * E * D * D                        # message matmul
+                   + 2 * N * D * D                        # root
+                   + 2 * N * 2 * 3 * D * D)               # GRU gates
+    elif model_name == "MEGNet":
+        fc = g("gc_fc_count", 2)
+        blk = lambda rows, zin: 2 * rows * (zin * D3 + fc * D3 * D3)
+        f += gc * (
+            2 * (E + N + B) * 2 * D3 * D3                 # e/x/u embed MLPs
+            + 2 * E * De * D3 + 2 * N * D * D3            # embed first layers
+            + blk(E, 4 * D3) + blk(N, 3 * D3) + blk(B, 3 * D3)
+        )
+    # post-FC head (pooled rows = B; pooled width approximated by D2 input)
+    f += 2 * B * (D2 * D2 * max(post, 1) + D2 * out)
+    return f
+
+
+def attach_analytic_flops(meter: "ThroughputMeter", model_name: str,
+                          cfg: dict, spec, n_train: int, n_val: int,
+                          batch_size: int) -> None:
+    """Set meter.flops_per_epoch from the analytic model (train steps ~3x
+    forward, val steps 1x) unless already set."""
+    if meter.flops_per_epoch > 0:
+        return
+    fwd = analytic_step_flops(model_name, cfg, spec.num_nodes,
+                              spec.num_edges, spec.num_graphs)
+    tr_steps = max(1, -(-n_train // max(batch_size, 1)))
+    va_steps = -(-n_val // max(batch_size, 1)) if n_val else 0
+    meter.flops_per_epoch = 3.0 * fwd * tr_steps + fwd * va_steps
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | None, enabled: bool = True):
     """jax.profiler trace context; no-op when disabled or log_dir is None."""
