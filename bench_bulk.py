@@ -154,18 +154,28 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
     )
     jax.block_until_ready(last.params)
     sec_per_epoch = (time.time() - t0) / epochs
-    rates = meter.rates()
+    # Direct accounting from the timed span (no meter heuristics): real
+    # train edges per epoch over measured wall; MFU from the analytic FLOP
+    # model (profiling.analytic_step_flops) vs the chip's bf16 peak.
+    from matdeeplearn_tpu.utils.profiling import device_peaks
+
+    train_edges = float(np.asarray(ds.edge_counts())[tr].sum())
+    steps = -(-len(tr) // batch)
+    flops_epoch = meter.flops_per_epoch  # analytic (attach_analytic_flops)
+    peaks = device_peaks()
     rec = {
         "config": name, "s_per_epoch": round(sec_per_epoch, 3),
         "epochs_per_hr": round(3600.0 / sec_per_epoch, 1),
-        "edges_per_s_per_chip": rates.get("edges_per_s_per_chip"),
-        "graphs_per_s": rates.get("graphs_per_s"),
-        "step_ms": rates.get("step_ms"),
-        "mfu_pct": rates.get("mfu_pct"),
-        "hbm_util_pct": rates.get("hbm_util_pct"),
-        "model_flops_per_s": rates.get("model_flops_per_s"),
+        "edges_per_s_per_chip": round(train_edges / sec_per_epoch),
+        "graphs_per_s": round(len(tr) / sec_per_epoch, 1),
+        "step_ms": round(sec_per_epoch / steps * 1e3, 2),
+        "model_flops_per_s": round(flops_epoch / sec_per_epoch),
         "setup_s": round(setup_s, 1), "warmup_s": round(warm_s, 1),
     }
+    if peaks is not None and flops_epoch > 0:
+        rec["mfu_pct"] = round(
+            100.0 * flops_epoch / sec_per_epoch / peaks[0], 2
+        )
     if stream_dir is not None:
         # Host-assembly profile: can the host feed the chip?
         from matdeeplearn_tpu.data.batching import BatchSpec

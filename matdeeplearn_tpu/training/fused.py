@@ -235,9 +235,11 @@ def fused_trainer(
         dt = dt_chunk / k
         if meter is not None:
             # The first chunk of each distinct length traces+compiles a new
-            # program shape — account it as warmup, not throughput.
+            # program shape — account it as warmup, not throughput. The key
+            # persists on the meter, so later trainer calls that reuse the
+            # compiled program (run.fused_fns) count as steady state.
             meter.add_chunk(k, k * ids.shape[1], dt_chunk,
-                            warmup=k not in seen_k)
+                            key=("fused", k, ids.shape[1]))
             seen_k.add(k)
             if meter.flops_per_epoch == 0.0:
                 from matdeeplearn_tpu.utils.profiling import xla_cost

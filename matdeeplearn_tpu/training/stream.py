@@ -153,7 +153,9 @@ def stream_trainer(
             if has_val else float("nan")
         )
         if meter is not None:
-            meter.add_chunk(1, n_steps, time.time() - t0, warmup=epoch == 1)
+            meter.add_chunk(1, n_steps, time.time() - t0,
+                            key=("stream", n_steps) if epoch == 1 else None,
+                            warmup=None if epoch == 1 else False)
             if meter.flops_per_epoch == 0.0:
                 from matdeeplearn_tpu.utils.profiling import xla_cost
 

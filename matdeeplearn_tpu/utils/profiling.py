@@ -110,6 +110,7 @@ class ThroughputMeter:
     _timed_epochs: float = 0.0
     _timed_steps: int = 0
     _chunks_seen: int = 0
+    _seen_keys: set = field(default_factory=set)
 
     def start(self):
         self._t0 = time.perf_counter()
@@ -120,14 +121,21 @@ class ThroughputMeter:
         self.epochs += epochs
 
     def add_chunk(self, epochs: int, steps: int, seconds: float,
-                  warmup: bool | None = None):
-        """Account one fused dispatch; early chunks (or chunks the caller
-        flags, e.g. a fresh program shape) are compile warmup."""
+                  warmup: bool | None = None, key=None):
+        """Account one fused dispatch. Warmup resolution order: explicit
+        `warmup` flag; else `key` (a hashable program-shape id — its FIRST
+        occurrence on this meter is compile warmup, later ones are steady
+        state, surviving across trainer calls that share compiled
+        programs); else the first `warmup_chunks` chunks."""
         self._chunks_seen += 1
         self.epochs += epochs
         self.steps += steps
         if warmup is None:
-            warmup = self._chunks_seen <= self.warmup_chunks
+            if key is not None:
+                warmup = key not in self._seen_keys
+                self._seen_keys.add(key)
+            else:
+                warmup = self._chunks_seen <= self.warmup_chunks
         if warmup:
             self.warmup_s += seconds
             return
