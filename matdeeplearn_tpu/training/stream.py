@@ -80,11 +80,30 @@ def _epoch_ids(indices: np.ndarray, batch_size: int, shuffle: bool, seed):
         yield np.where(local >= 0, indices[np.clip(local, 0, n - 1)], -1)
 
 
+def _ordered_batches(order: np.ndarray, batch_size: int):
+    n = len(order)
+    steps = max(1, -(-n // batch_size))
+    padded = np.full(steps * batch_size, -1, dtype=np.int64)
+    padded[:n] = order
+    for s in range(steps):
+        yield padded[s * batch_size:(s + 1) * batch_size]
+
+
+def _train_id_batches(sds, indices, batch_size, seed):
+    """Shard-aware shuffling when the dataset exposes it (streaming LRU —
+    a uniform global shuffle decompresses ~every shard per batch)."""
+    order_fn = getattr(sds, "shard_local_order", None)
+    if order_fn is not None:
+        return _ordered_batches(order_fn(indices, seed), batch_size)
+    return _epoch_ids(np.asarray(indices), batch_size, shuffle=True,
+                      seed=seed)
+
+
 def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
                        rng_key, shuffle_seed):
     loss_sum, count_sum = 0.0, 0.0
     pending = []  # device scalars; resolved once at epoch end
-    for ids in _epoch_ids(indices, batch_size, shuffle=True, seed=shuffle_seed):
+    for ids in _train_id_batches(sds, indices, batch_size, shuffle_seed):
         batch = sds.assemble(ids, spec)
         rng_key, sub = jax.random.split(rng_key)
         state, loss, count = train_step(state, batch, sub)
