@@ -177,12 +177,13 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
             100.0 * flops_epoch / sec_per_epoch / peaks[0], 2
         )
     if stream_dir is not None:
-        # Host-assembly profile: can the host feed the chip?
-        from matdeeplearn_tpu.data.batching import BatchSpec
-
+        # Host-assembly profile: can the host feed the chip? Uses the same
+        # shard-local order training uses (random ids would measure LRU
+        # decompression thrash, not the hot path).
         sds = run.streaming if run.streaming is not None else dataset
         spec = run.spec
-        ids = np.asarray(tr[: batch * 8]).reshape(8, batch)
+        order = sds.shard_local_order(np.asarray(tr), seed=123)
+        ids = order[: batch * 8].reshape(8, batch)
         t0 = time.time()
         for row in ids:
             sds.assemble(row, spec)
