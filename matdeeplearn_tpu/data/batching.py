@@ -98,6 +98,11 @@ class DeviceDataset(struct.PyTreeNode):
     u: jax.Array             # (G, 3) float32
     extra: jax.Array | None = None  # (G, D) whole-structure descriptors (SOAP/SM)
     windowed: "WindowedDeviceData | None" = None  # Pallas windowed layout
+    # (E, 4) int32 [src, dst, bitcast(weight), bitcast(dist_norm)]: batch
+    # assembly gathers ONE 16-byte row per edge instead of four 4-byte rows
+    # — random-row gathers are latency-bound on TPU, and assembly measured
+    # 38% of the packed bulk epoch before this packing (BULK.md ablation).
+    edge_packed: jax.Array | None = None
 
     @classmethod
     def from_graph_dataset(cls, ds, extra_key: str | None = None) -> "DeviceDataset":
@@ -111,8 +116,14 @@ class DeviceDataset(struct.PyTreeNode):
             if extra_key and extra_key in ds.extra_features
             else None
         )
+        packed = np.empty((len(np.asarray(ds.edge_src)), 4), np.int32)
+        packed[:, 0] = np.asarray(ds.edge_src, np.int32)
+        packed[:, 1] = np.asarray(ds.edge_dst, np.int32)
+        packed[:, 2] = np.asarray(ds.edge_weight, np.float32).view(np.int32)
+        packed[:, 3] = np.asarray(ds.edge_dist_norm, np.float32).view(np.int32)
         return cls(
             extra=extra,
+            edge_packed=jnp.asarray(packed),
             node_x=jnp.asarray(ds.node_x, jnp.float32),
             edge_src=jnp.asarray(ds.edge_src, jnp.int32),
             edge_dst=jnp.asarray(ds.edge_dst, jnp.int32),
@@ -188,6 +199,20 @@ class GraphBatch(struct.PyTreeNode):
         return self.edge_src.shape[0]
 
 
+def _slot_to_graph(cum: jax.Array, num_slots: int) -> jax.Array:
+    """g[s] = #{j : cum[j] <= s} for s in [0, num_slots) — identical to
+    jnp.searchsorted(cum, arange(num_slots), side="right"), but as a
+    B-element scatter + one cumsum instead of num_slots binary searches
+    (searchsorted measured 1.5 s/epoch of the 46k packed bulk epoch,
+    the single largest assembly cost — BULK.md ablation)."""
+    ind = (
+        jnp.zeros(num_slots + 1, jnp.int32)
+        .at[jnp.minimum(cum, num_slots)]
+        .add(1, mode="drop")
+    )
+    return jnp.cumsum(ind)[:num_slots]
+
+
 def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -> GraphBatch:
     """Gather a padded batch from the device-resident dataset. Jit-safe:
     all shapes derive from `spec`, control flow is data-independent.
@@ -209,7 +234,7 @@ def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -
 
     # --- nodes -------------------------------------------------------------
     slot = jnp.arange(N, dtype=jnp.int32)
-    g_of_node = jnp.searchsorted(ncum, slot, side="right").astype(jnp.int32)  # [0, B]
+    g_of_node = _slot_to_graph(ncum, N)  # [0, B]
     node_valid = slot < n_total
     g_safe = jnp.minimum(g_of_node, B - 1)
     local = slot - node_off[g_safe]
@@ -220,17 +245,29 @@ def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -
 
     # --- edges -------------------------------------------------------------
     eslot = jnp.arange(E, dtype=jnp.int32)
-    g_of_edge = jnp.searchsorted(ecum, eslot, side="right").astype(jnp.int32)
+    g_of_edge = _slot_to_graph(ecum, E)
     edge_valid = eslot < e_total
     eg_safe = jnp.minimum(g_of_edge, B - 1)
     elocal = eslot - (ecum - ecounts)[eg_safe]
     e_index = data.edge_ptr[ids[eg_safe]] + elocal
     e_index = jnp.where(edge_valid, e_index, 0)
     offset = node_off[eg_safe]
-    esrc = jnp.where(edge_valid, data.edge_src[e_index] + offset, 0)
-    edst = jnp.where(edge_valid, data.edge_dst[e_index] + offset, 0)
-    ew = jnp.where(edge_valid, data.edge_weight[e_index], 0.0)
-    ed = jnp.where(edge_valid, data.edge_dist_norm[e_index], 0.0)
+    if data.edge_packed is not None:
+        # One 16-byte row gather per edge (random gathers are latency-bound;
+        # 4 separate per-field gathers measured 38% of the bulk epoch).
+        rows = data.edge_packed[e_index]
+        esrc_r, edst_r = rows[:, 0], rows[:, 1]
+        ew_r = jax.lax.bitcast_convert_type(rows[:, 2], jnp.float32)
+        ed_r = jax.lax.bitcast_convert_type(rows[:, 3], jnp.float32)
+    else:
+        esrc_r = data.edge_src[e_index]
+        edst_r = data.edge_dst[e_index]
+        ew_r = data.edge_weight[e_index]
+        ed_r = data.edge_dist_norm[e_index]
+    esrc = jnp.where(edge_valid, esrc_r + offset, 0)
+    edst = jnp.where(edge_valid, edst_r + offset, 0)
+    ew = jnp.where(edge_valid, ew_r, 0.0)
+    ed = jnp.where(edge_valid, ed_r, 0.0)
 
     return GraphBatch(
         x=x,
@@ -320,7 +357,7 @@ def assemble_batch_windowed(
 
     # --- nodes (window-padded slots) --------------------------------------
     slot = jnp.arange(N, dtype=jnp.int32)
-    g_of_node = jnp.searchsorted(ncum_w, slot, side="right").astype(jnp.int32)
+    g_of_node = _slot_to_graph(ncum_w, N)
     in_range = slot < n_total_w
     g_safe = jnp.minimum(g_of_node, B - 1)
     local = slot - node_off_w[g_safe]
@@ -336,7 +373,7 @@ def assemble_batch_windowed(
     edge_off = ecum - ecounts
     e_total = ecum[-1]
     eslot = jnp.arange(E, dtype=jnp.int32)
-    g_of_edge = jnp.searchsorted(ecum, eslot, side="right").astype(jnp.int32)
+    g_of_edge = _slot_to_graph(ecum, E)
     e_in_range = eslot < e_total
     eg_safe = jnp.minimum(g_of_edge, B - 1)
     elocal = eslot - edge_off[eg_safe]
@@ -358,7 +395,7 @@ def assemble_batch_windowed(
     tile_off = tcum - tcounts
     t_total = tcum[-1]
     tslot = jnp.arange(T, dtype=jnp.int32)
-    g_of_tile = jnp.searchsorted(tcum, tslot, side="right").astype(jnp.int32)
+    g_of_tile = _slot_to_graph(tcum, T)
     t_in_range = tslot < t_total
     tg_safe = jnp.minimum(g_of_tile, B - 1)
     tlocal = tslot - tile_off[tg_safe]
