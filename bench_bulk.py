@@ -139,10 +139,13 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
     )
     attach_analytic_flops(meter, run.model_name, run.model_config, run.spec,
                           len(tr), len(va), batch)
+    # Warmup with the SAME chunk length as the timed run — chunk length is
+    # baked into the scanned program shape, so a different-k warmup would
+    # leave the timed chunk paying compile/cache-load.
     t0 = time.time()
     _, last, _ = J.run_fused_training(
-        run, train_idx=tr, val_idx=va, epochs=1, verbosity=1, seed=7,
-        meter=meter,
+        run, train_idx=tr, val_idx=va, epochs=epochs, verbosity=epochs,
+        seed=7, meter=meter,
     )
     jax.block_until_ready(last.params)
     warm_s = time.time() - t0
