@@ -114,10 +114,11 @@ def setup_run(
     #   r3 — kernel="fused" moves CGConv's message MLPs + edge basis +
     #   aggregation INTO one Pallas kernel (ops/pallas_fused.py): z/gate/
     #   core/messages never exist in HBM and pad slots never reach an XLA
-    #   MLP. Measured end-to-end wins on all three v5e workloads: x3.5 at
-    #   test_data scale (~9k edges/batch), x1.05 small-graph bulk (~178k),
-    #   x1.15 large-structure (~214k, tw=te=512) — so "auto" resolves to
-    #   the fused kernel for CGCNN (padded batching), XLA otherwise.
+    #   MLP. Measured end-to-end on v5e (idle host): parity at test_data
+    #   scale (~9k edges/batch), x1.04 small-graph bulk (~178k), x1.15
+    #   large-structure (~214k, tw=te=512), x1.2-1.4 at the 46k corpus —
+    #   grows with scale, never inverts — so "auto" resolves to the fused
+    #   kernel for CGCNN (padded batching), XLA otherwise.
     #   "pallas" keeps the r2 aggregation-only kernel as an opt-in.
     batching_req = str(model_parameters.get("batching", "padded")).lower()
     # auto resolves per backend: the fused kernel's wins are TPU
