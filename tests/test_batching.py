@@ -90,3 +90,23 @@ def test_spec_upper_bound(toy_dataset):
     worst_n = np.sort(nc)[-6:].sum()
     assert spec.num_nodes >= worst_n
     assert spec.num_nodes % 8 == 0
+
+
+def test_slot_to_graph_matches_searchsorted():
+    """_slot_to_graph (scatter+cumsum) ≡ searchsorted(cum, arange, 'right')
+    — the assembly fast path's correctness contract, incl. edge cases
+    (empty graphs, cum values at/above the slot count)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matdeeplearn_tpu.data.batching import _slot_to_graph
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        b = int(rng.integers(1, 12))
+        counts = rng.integers(0, 9, size=b)  # zeros = empty graphs
+        cum = np.cumsum(counts)
+        n_slots = int(rng.integers(1, cum[-1] + 8))
+        want = np.searchsorted(cum, np.arange(n_slots), side="right")
+        got = np.asarray(_slot_to_graph(jnp.asarray(cum, jnp.int32), n_slots))
+        np.testing.assert_array_equal(got, want)
