@@ -86,16 +86,20 @@ class DeviceDataset(struct.PyTreeNode):
     """Featurized dataset resident in device memory (HBM)."""
 
     node_x: jax.Array        # (N, F) float32
-    edge_src: jax.Array      # (E,) int32 graph-local
-    edge_dst: jax.Array      # (E,) int32 graph-local
-    edge_weight: jax.Array   # (E,) float32 raw distance
-    edge_dist_norm: jax.Array  # (E,) float32
     node_ptr: jax.Array      # (G+1,) int32
     edge_ptr: jax.Array      # (G+1,) int32
     node_counts: jax.Array   # (G,) int32
     edge_counts: jax.Array   # (G,) int32
     y: jax.Array             # (G, T) float32 — after target-index selection
     u: jax.Array             # (G, 3) float32
+    # Per-field edge arrays: None when edge_packed carries them (the default
+    # — keeping both doubled device edge storage, hundreds of MB at 46k
+    # scale; ADVICE r3 #1). Populated only by callers that opt out of
+    # packing.
+    edge_src: jax.Array | None = None      # (E,) int32 graph-local
+    edge_dst: jax.Array | None = None      # (E,) int32 graph-local
+    edge_weight: jax.Array | None = None   # (E,) float32 raw distance
+    edge_dist_norm: jax.Array | None = None  # (E,) float32
     extra: jax.Array | None = None  # (G, D) whole-structure descriptors (SOAP/SM)
     windowed: "WindowedDeviceData | None" = None  # Pallas windowed layout
     # (E, 4) int32 [src, dst, bitcast(weight), bitcast(dist_norm)]: batch
@@ -125,10 +129,6 @@ class DeviceDataset(struct.PyTreeNode):
             extra=extra,
             edge_packed=jnp.asarray(packed),
             node_x=jnp.asarray(ds.node_x, jnp.float32),
-            edge_src=jnp.asarray(ds.edge_src, jnp.int32),
-            edge_dst=jnp.asarray(ds.edge_dst, jnp.int32),
-            edge_weight=jnp.asarray(ds.edge_weight, jnp.float32),
-            edge_dist_norm=jnp.asarray(ds.edge_dist_norm, jnp.float32),
             node_ptr=jnp.asarray(ds.node_ptr, jnp.int32),
             edge_ptr=jnp.asarray(ds.edge_ptr, jnp.int32),
             node_counts=jnp.asarray(np.diff(ds.node_ptr), jnp.int32),
@@ -457,6 +457,8 @@ def packed_steps(indices, node_counts, edge_counts, spec: BatchSpec,
     fits the spec's node/edge/graph-slot capacities, for any shuffle."""
     nc = np.asarray(node_counts)[np.asarray(indices)]
     ec = np.asarray(edge_counts)[np.asarray(indices)]
+    if len(nc) == 0:
+        return 1
     n_bound = int(np.ceil(nc.sum() / max(spec.num_nodes - nc.max(), 1)))
     e_bound = int(np.ceil(ec.sum() / max(spec.num_edges - ec.max(), 1)))
     g_bound = int(np.ceil(len(nc) / spec.num_graphs))
@@ -479,6 +481,8 @@ def packed_id_matrix(indices, node_counts, edge_counts, spec: BatchSpec,
     nc_all = np.asarray(node_counts)
     ec_all = np.asarray(edge_counts)
     b_cap, cap_n, cap_e = spec.num_graphs, spec.num_nodes, spec.num_edges
+    if len(indices) == 0:
+        return np.full((1, b_cap), -1, np.int32)
     order = indices.copy()
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -514,3 +518,44 @@ def packed_id_matrix(indices, node_counts, edge_counts, spec: BatchSpec,
         loads_e[j] += e_i
         counts[j] += 1
     return out
+
+
+def packed_id_matrix_sharded(indices, node_counts, edge_counts,
+                             spec: BatchSpec, nominal_batch: int, dp: int,
+                             shuffle: bool, seed) -> np.ndarray:
+    """(S, dp·B) id matrix: per-replica budget packing under a dp mesh.
+
+    The SPMD step body reshapes each row to (dp, B) and every replica
+    assembles its own batch, so each replica's B-slice must itself be a
+    valid packed bin. Bin-packing is embarrassingly parallel across
+    replicas: shard the (shuffled) index set contiguously into dp pieces
+    (the DistributedSampler analog, reference training/training.py:292-294),
+    pack each shard against the same per-replica spec, equalize step counts
+    with all-pad rows, and concatenate along the slot axis. The
+    count-weighted psum loss (parallel/spmd.py) makes uneven per-replica
+    graph counts — including all-pad rows — exact, not approximate.
+    """
+    indices = np.asarray(indices, np.int64)
+    if dp <= 1:
+        return packed_id_matrix(indices, node_counts, edge_counts, spec,
+                                nominal_batch, shuffle, seed)
+    order = indices.copy()
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    shards = np.array_split(order, dp)
+    mats = [
+        packed_id_matrix(
+            s, node_counts, edge_counts, spec, nominal_batch,
+            # training: balanced-greedy pack (its internal reshuffle of an
+            # already-shuffled shard stays uniform); eval: sequential fill.
+            shuffle, None if seed is None else seed + 1 + r,
+        )
+        for r, s in enumerate(shards)
+    ]
+    steps = max(m.shape[0] for m in mats)
+    mats = [
+        np.vstack([m, np.full((steps - m.shape[0], spec.num_graphs), -1,
+                              np.int32)])
+        for m in mats
+    ]
+    return np.concatenate(mats, axis=1)

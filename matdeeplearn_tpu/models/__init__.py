@@ -32,7 +32,9 @@ MODEL_FIELDS = {
     "GCN": _COMMON,
     "MPNN": _COMMON | {"dim3"},
     "SchNet": _COMMON | {"dim3", "cutoff"},
-    "MEGNet": _COMMON | {"dim3", "gc_fc_count"},
+    # ep_axis is injected by setup_run under ring-ep (mesh-derived, not a
+    # YAML hyperparameter; setup_run keeps it out of checkpoint configs).
+    "MEGNet": _COMMON | {"dim3", "gc_fc_count", "ep_axis"},
     "SM": {"dim1", "fc_count", "output_dim", "precision"},
     "SOAP": {"dim1", "fc_count", "output_dim", "precision"},
 }

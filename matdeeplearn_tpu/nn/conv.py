@@ -205,6 +205,9 @@ class MEGNetMLP(nn.Module):
     batch_norm: bool = True
     track_stats: bool = True
     dropout_rate: float = 0.0
+    # Mesh axis for cross-shard BN statistics (ring-ep edge MLP): keeps
+    # edge-feature BN full-batch when each device holds 1/ep of the edges.
+    stat_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
@@ -213,7 +216,9 @@ class MEGNetMLP(nn.Module):
             x = Linear(self.dim, name=f"lin{i}")(x)
             x = fn(x)
             if self.batch_norm:
-                x = MaskedBatchNorm(track_stats=self.track_stats, name=f"bn{i}")(
+                x = MaskedBatchNorm(track_stats=self.track_stats,
+                                    axis_name=self.stat_axis,
+                                    name=f"bn{i}")(
                     x, mask=mask, use_running_average=not training
                 )
             if self.dropout_rate > 0:
@@ -236,6 +241,10 @@ class MEGNetBlock(nn.Module):
     batch_norm: bool = True
     track_stats: bool = True
     dropout_rate: float = 0.0
+    # Under manual ring-ep: psum edge-MLP BN statistics over this axis so
+    # training semantics match ep=1 exactly (node/global MLPs see replicated
+    # rows across ep members — their local stats are already full-batch).
+    ep_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, e, u, batch, training: bool = False):
@@ -255,7 +264,7 @@ class MEGNetBlock(nn.Module):
              u[jnp.minimum(edge_graph, num_graphs - 1)]],
             axis=-1,
         )
-        e_out = MEGNetMLP(**mlp, name="edge_mlp")(
+        e_out = MEGNetMLP(**mlp, stat_axis=self.ep_axis, name="edge_mlp")(
             comb_e, mask=batch.edge_mask, training=training
         )
 

@@ -21,6 +21,31 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _allreduce_sum(x, axis_name: str):
+    """All-reduce-sum as reduce-scatter + all-gather — the ring-ep
+    gradient-convention-preserving form.
+
+    A plain lax.psum here would give the mathematically correct VJP for the
+    stats coupling in isolation (verified empirically) — but the manual
+    ring-ep training body (parallel/spmd.py) runs on the convention that
+    EVERY local cotangent path carries a uniform x-ep factor (the transpose
+    of ring.py's all_gather-after-psum_scatter halo exchange), divided out
+    once at gscale. Plain psum's transpose carries x1, so BN stat-coupling
+    gradients would come out ep-times too small after that division. Using
+    the same psum_scatter/all_gather pair as the halo exchange makes the
+    stat path's transpose carry the identical x-ep factor — gradient-exact
+    under the body's convention (tests/test_ring_ep.py::
+    test_ring_ep_megnet_batchnorm_full_batch_stats)."""
+    ep = jax.lax.axis_size(axis_name)
+    n = x.shape[0]
+    npad = ((n + ep - 1) // ep) * ep
+    if npad != n:
+        x = jnp.pad(x, (0, npad - n))
+    red = jax.lax.psum_scatter(x, axis_name, scatter_dimension=0, tiled=True)
+    out = jax.lax.all_gather(red, axis_name, axis=0, tiled=True)
+    return out[:n]
+
+
 def torch_linear_init(fan_in: int):
     """U(-k, k), k = 1/sqrt(fan_in) — torch.nn.Linear's default reset."""
     bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
@@ -100,11 +125,19 @@ class MaskedBatchNorm(nn.Module):
       update running stats (unbiased var) when track_stats.
     * eval: running stats if track_stats else batch stats (torch's
       track_running_stats=False behavior).
+    * axis_name: psum the stat sums over that mesh axis — used for
+      edge-feature BN under manual ring-ep (parallel/spmd.py), where each
+      device holds 1/ep of the edge rows but training semantics must match
+      full-batch statistics (reference DDP trains BN on each rank's FULL
+      edge set, training/training.py:264-266). Only legal inside a
+      shard_map binding the axis; model.init runs outside one, hence the
+      is_initializing() guard.
     """
 
     momentum: float = 0.1
     epsilon: float = 1e-5
     track_stats: bool = True
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
@@ -124,15 +157,24 @@ class MaskedBatchNorm(nn.Module):
         x = x.astype(jnp.float32)
         use_batch_stats = (not use_running_average) or (not self.track_stats)
         if use_batch_stats:
+            ax = (self.axis_name
+                  if self.axis_name is not None and not self.is_initializing()
+                  else None)
             if mask is None:
-                count = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
+                m = jnp.ones((x.shape[0], 1), jnp.float32)
             else:
                 m = mask.astype(jnp.float32)[:, None]
-                count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / count
-                var = jnp.sum(((x - mean) ** 2) * m, axis=0) / count
+            count = jnp.sum(m)
+            s1 = jnp.sum(x * m, axis=0)
+            if ax is not None:  # cross-shard (ring-ep) statistics
+                count = jax.lax.psum(count, ax)  # mask: no gradient
+                s1 = _allreduce_sum(s1, ax)
+            count = jnp.maximum(count, 1.0)
+            mean = s1 / count
+            s2 = jnp.sum(((x - mean) ** 2) * m, axis=0)
+            if ax is not None:
+                s2 = _allreduce_sum(s2, ax)
+            var = s2 / count
             if self.track_stats and not use_running_average and not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 mom = self.momentum

@@ -327,6 +327,12 @@ def fused_cgconv(cfg, x, xj, dist, we: WindowedEdges,
     x: (N, D) node features; xj: (EW, D) pre-gathered x[src] in windowed
     order; dist: (EW,) normalized distances. Returns the SUM aggregation
     (N, D) — callers divide by true in-degree for CGConv's aggr="mean".
+
+    `dist` is treated as NON-DIFFERENTIABLE data: the VJP returns zero for
+    it even though the output depends on dist through the in-kernel
+    Gaussian basis (energy training never differentiates w.r.t. distances).
+    Force/position-gradient work must not route through this kernel
+    without first adding the basis-derivative term to _bwd_kernel.
     """
     return _fwd_impl(cfg, x, xj, dist, we, wfi, wfj, wfe, bf,
                      wsi, wsj, wse, bs)

@@ -25,10 +25,11 @@ Design:
     running stats are psum-averaged across replicas after the step.
 
 Manual ring-ep caveats (setup_run prints these when they apply):
-  * edge-feature BatchNorm (MEGNet's edge MLP) computes batch statistics
-    over the local 1/ep edge-slot shard, so its training trajectory
-    differs slightly from ep=1 (node-feature BN is unaffected — halo
-    exchange restores full aggregates before node paths run);
+  * edge-feature BatchNorm (MEGNet's edge MLP) psums its batch statistics
+    over the ep axis (nn/layers.py:MaskedBatchNorm axis_name, injected by
+    setup_run) so training semantics match ep=1 / reference DDP exactly
+    even though each device holds 1/ep of the edge rows — verified vs the
+    single-device step in tests/test_ring_ep.py (batch_norm=True);
   * the dropout rng is deliberately replicated across the ep group so the
     node paths stay value-identical (the gradient-exactness invariant the
     ×ep gscale correction relies on); the side effect is that edge-path
@@ -40,6 +41,7 @@ apply the same scaling at the job layer.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -92,6 +94,20 @@ def _slice_edge_shard(batch, ep: int):
         edge_dist_norm=sl(batch.edge_dist_norm),
         edge_mask=sl(batch.edge_mask),
     )
+
+
+def _avg_stats(manual_ep: bool, dp: int, s):
+    """Average BatchNorm running stats across dp replicas (reference DDP
+    keeps per-rank BN; we take the mean so the saved model is rank-free).
+
+    Under manual ep, per-leaf vma decides the ep handling: node-feature BN
+    stats are value-identical across the ep group but vma-tracked as
+    ep-varying (pmean drops the axis without changing the value), while
+    ep_axis-psum'd edge-BN stats (nn/layers.py) are already ep-invariant
+    and must not be reduced over ep again."""
+    if manual_ep and "ep" in getattr(jax.typeof(s), "vma", frozenset()):
+        s = jax.lax.pmean(s, "ep")
+    return jax.lax.psum(s, "dp") / dp
 
 
 def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
@@ -168,11 +184,7 @@ def _spmd_train_body(model, tx, loss_fn, spec, mesh, ids_sharding,
             gscale = csum * ep if manual_ep else csum
             grads = jax.tree.map(lambda x: x / gscale, g)
             loss = jax.lax.psum(lsum, "dp") / csum
-            stat_axes = ("dp", "ep") if manual_ep else ("dp",)
-            n_stat = dp * ep if manual_ep else dp
-            new_stats = jax.tree.map(
-                lambda s: jax.lax.psum(s, stat_axes) / n_stat, stats
-            )
+            new_stats = jax.tree.map(partial(_avg_stats, manual_ep, dp), stats)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
                 lambda p, u: p + u, state.params, updates
@@ -333,11 +345,7 @@ def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh,
         gscale = csum * ep if manual_ep else csum
         grads = jax.tree.map(lambda x: x / gscale, g)
         loss = jax.lax.psum(lsum, "dp") / csum
-        stat_axes = ("dp", "ep") if manual_ep else ("dp",)
-        n_stat = dp * ep if manual_ep else dp
-        new_stats = jax.tree.map(
-            lambda s: jax.lax.psum(s, stat_axes) / n_stat, stats
-        )
+        new_stats = jax.tree.map(partial(_avg_stats, manual_ep, dp), stats)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(

@@ -218,7 +218,6 @@ def fused_trainer(
 
     t0 = time.time()
     epoch = 0
-    seen_k: set[int] = set()
     while epoch < epochs:
         k = min(chunk, epochs - epoch)
         ids = np.stack([
@@ -240,7 +239,6 @@ def fused_trainer(
             # compiled program (run.fused_fns) count as steady state.
             meter.add_chunk(k, k * ids.shape[1], dt_chunk,
                             key=("fused", k, ids.shape[1]))
-            seen_k.add(k)
             if meter.flops_per_epoch == 0.0:
                 from matdeeplearn_tpu.utils.profiling import xla_cost
 

@@ -245,7 +245,13 @@ def run_trial(
     + epoch/best_val header — the reference's tune.checkpoint_dir cadence,
     training.py:963-976). With resume_from_checkpoint, an interrupted trial
     continues from its recorded epoch instead of restarting at 0
-    (reference training.py:932-939)."""
+    (reference training.py:932-939).
+
+    NOTE: trial_<t>.ckpt is a RESUME point — the LAST state at the latest
+    report interval, not the best-val model. Consumers wanting the winning
+    weights for inference must retrain the best config (what tune_setup's
+    caller does, matching the reference's use of the optimized
+    hyperparameters JSON) rather than load a trial checkpoint."""
     mp = {**model_parameters, **{k: v for k, v in trial_config.items()
                                  if k not in _PROCESSING_KEYS}}
     loss = training_parameters.get("loss", "l1_loss")
