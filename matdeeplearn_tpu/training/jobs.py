@@ -60,6 +60,8 @@ class Run:
     reset_state_fn: Any = None  # seed -> fresh TrainState (no retrace)
     id_matrix_fn: Any = None  # (indices, shuffle, seed) -> id matrix; None = padded
     kernel_mode: str = "xla"  # resolved kernel: fused | pallas | xla
+    stream_packed: bool = False  # streaming runs pack bins on the host
+    dp: int = 1  # dp replicas (1 without a mesh)
 
 
 def setup_run(
@@ -133,10 +135,7 @@ def setup_run(
     #   kernel for CGCNN (padded batching), XLA otherwise.
     #   "pallas" keeps the r2 aggregation-only kernel as an opt-in.
     batching_req = str(model_parameters.get("batching", "padded")).lower()
-    use_packed = batching_req == "packed" and not is_stream
-    if batching_req == "packed" and is_stream:
-        print("batching=packed is not available for streaming datasets; "
-              "using padded batches")
+    use_packed = batching_req == "packed"
     # auto resolves per backend: the fused kernel's wins are TPU
     # measurements; on CPU it would run in (slow) interpret mode, so auto
     # stays XLA there. Explicit kernel="fused"/"pallas" is honored anywhere.
@@ -202,10 +201,19 @@ def setup_run(
     elif is_stream:
         # align=8*ep like the non-streaming paths: _slice_edge_shard and the
         # ring exchange need E and N divisible by ep (ADVICE r2 #1).
-        spec = BatchSpec.for_dataset(
-            dataset.node_counts(), dataset.edge_counts(), bs,
-            align=8 * ep, align_edges=8 * ep,
-        )
+        if use_packed:
+            # Streaming × packed (r4): the host packer bins by the resident
+            # count metadata; stream.py packs shard-local orders with
+            # sequential fill so LRU locality survives inside each bin.
+            spec = BatchSpec.packed_for_dataset(
+                dataset.node_counts(), dataset.edge_counts(), bs,
+                align=8 * ep, align_edges=8 * ep,
+            )
+        else:
+            spec = BatchSpec.for_dataset(
+                dataset.node_counts(), dataset.edge_counts(), bs,
+                align=8 * ep, align_edges=8 * ep,
+            )
         data = None
         assemble_fn = None
     else:
@@ -261,6 +269,16 @@ def setup_run(
         sample_ids = jnp.asarray(
             id_matrix_fn(np.arange(min(bs, len(dataset))), False, None)[0]
         )[: spec.num_graphs]
+    elif is_stream and use_packed:
+        # Streaming packed: spec.num_graphs sequential ids could overflow
+        # the packed node/edge budget — take a packer row instead.
+        from matdeeplearn_tpu.data.batching import packed_id_matrix
+
+        row = packed_id_matrix(
+            np.arange(min(bs, len(dataset))), dataset.node_counts(),
+            dataset.edge_counts(), spec, bs, False, None,
+        )[0]
+        sample_ids = jnp.asarray(row)
     else:
         sample_b = spec.num_graphs
         sample_ids = jnp.asarray(
@@ -385,6 +403,8 @@ def setup_run(
     return Run(
         kernel_mode=("fused" if fused_mode
                      else "pallas" if use_windowed else "xla"),
+        stream_packed=is_stream and use_packed,
+        dp=dp,
         reset_state_fn=reset_state_fn,
         id_matrix_fn=id_matrix_fn,
         train_body=train_body,
@@ -453,6 +473,8 @@ def run_fused_training(
             checkpoint_fn=stream_ckpt if checkpoint_path else None,
             shuffle_seed_base=seed,
             meter=meter,
+            packed=run.stream_packed,
+            dp=run.dp,
         )
         return best, last, sched
 
@@ -539,7 +561,7 @@ def _final_outputs(run: Run, dataset, idx, batch_size):
 
         loss, preds, targs = stream_evaluate(
             run.eval_step, run.streaming, run.spec, run.state, idx,
-            batch_size, out=True,
+            batch_size, out=True, packed=run.stream_packed, dp=run.dp,
         )
     else:
         loss, preds, targs = T.evaluate_scan(

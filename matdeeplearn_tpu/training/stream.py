@@ -128,22 +128,43 @@ def _ordered_batches(order: np.ndarray, batch_size: int):
         yield padded[s * batch_size:(s + 1) * batch_size]
 
 
-def _train_id_batches(sds, indices, batch_size, seed):
+def _packed_rows(sds, order, spec, nominal_batch, dp: int):
+    """Budget-packed (S, dp·B) id rows over a host order. Sequential fill
+    (shuffle=False in the packer) preserves the given order — composing
+    with shard-local shuffling keeps LRU locality inside each bin."""
+    from matdeeplearn_tpu.data.batching import packed_id_matrix_sharded
+
+    mat = packed_id_matrix_sharded(
+        np.asarray(order), sds.node_counts(), sds.edge_counts(), spec,
+        nominal_batch, dp, shuffle=False, seed=None,
+    )
+    yield from mat
+
+
+def _train_id_batches(sds, indices, batch_size, seed, spec=None,
+                      packed: bool = False, dp: int = 1):
     """Shard-aware shuffling when the dataset exposes it (streaming LRU —
-    a uniform global shuffle decompresses ~every shard per batch)."""
+    a uniform global shuffle decompresses ~every shard per batch).
+    packed=True yields budget-packed rows instead of fixed-size ones."""
     order_fn = getattr(sds, "shard_local_order", None)
     if order_fn is not None:
-        return _ordered_batches(order_fn(indices, seed), batch_size)
-    return _epoch_ids(np.asarray(indices), batch_size, shuffle=True,
-                      seed=seed)
+        order = order_fn(indices, seed)
+    else:
+        order = np.asarray(indices).copy()
+        np.random.default_rng(seed).shuffle(order)
+    if packed:
+        return _packed_rows(sds, order, spec, batch_size // max(dp, 1), dp)
+    return _ordered_batches(order, batch_size)
 
 
 def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
-                       rng_key, shuffle_seed):
+                       rng_key, shuffle_seed, packed: bool = False,
+                       dp: int = 1):
     loss_sum, count_sum = 0.0, 0.0
     pending = []  # device scalars; resolved once at epoch end
-    for ids in _train_id_batches(sds, indices, batch_size, shuffle_seed):
-        batch = sds.assemble(ids, spec)
+    rows = _train_id_batches(sds, indices, batch_size, shuffle_seed,
+                             spec=spec, packed=packed, dp=dp)
+    for ids, batch in _prefetch_batches(rows, lambda i: sds.assemble(i, spec)):
         rng_key, sub = jax.random.split(rng_key)
         state, loss, count = train_step(state, batch, sub)
         pending.append((loss, count))
@@ -151,25 +172,39 @@ def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
         c = float(count)
         loss_sum += float(loss) * c
         count_sum += c
-    return state, loss_sum / max(count_sum, 1.0), rng_key
+    return state, loss_sum / max(count_sum, 1.0), rng_key, len(pending)
 
 
 def stream_evaluate(eval_step, sds, spec, state, indices, batch_size,
-                    out: bool = False):
+                    out: bool = False, packed: bool = False, dp: int = 1):
     loss_sum, count_sum = 0.0, 0.0
     preds = []
-    for ids in _epoch_ids(indices, batch_size, shuffle=False, seed=None):
-        batch = sds.assemble(ids, spec)
+    if packed:
+        rows = _packed_rows(sds, np.asarray(indices), spec,
+                            batch_size // max(dp, 1), dp)
+    else:
+        rows = _epoch_ids(indices, batch_size, shuffle=False, seed=None)
+    fids = []
+    for ids, batch in _prefetch_batches(rows, lambda i: sds.assemble(i, spec)):
         loss, count, pred = eval_step(state, batch)
         c = float(count)
         loss_sum += float(loss) * c
         count_sum += c
         if out:
-            preds.append(np.asarray(pred)[: int((ids >= 0).sum())])
+            p = np.asarray(pred)
+            valid = np.asarray(ids) >= 0
+            preds.append(p[: len(valid)][valid])
+            fids.append(np.asarray(ids)[valid])
     err = loss_sum / max(count_sum, 1.0)
     if not out:
         return err
+    # Map flat batch-slot outputs back to `indices` order (packed bins and
+    # dp-interleaved rows are not sequential — same remap as evaluate_scan).
     preds = np.concatenate(preds) if preds else np.zeros(0)
+    fids = np.concatenate(fids) if fids else np.zeros(0, np.int64)
+    order = np.argsort(fids)
+    take = order[np.searchsorted(fids[order], np.asarray(indices))]
+    preds = preds[take]
     targs = sds.targets[np.asarray(indices)]
     return err, preds, targs
 
@@ -191,6 +226,8 @@ def stream_trainer(
     checkpoint_fn=None,
     shuffle_seed_base: int = 0,
     meter=None,
+    packed: bool = False,
+    dp: int = 1,
 ):
     """Returns (best_state, last_state, scheduler). checkpoint_fn(best_state,
     best_val, scheduler) is called on every best-val improvement. With a
@@ -199,15 +236,15 @@ def stream_trainer(
     best_val = float("inf")
     best_params, best_stats = state.params, state.batch_stats
     has_val = len(val_idx) > 0
-    n_steps = -(-len(train_idx) // batch_size)
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        state, train_err, rng_key = stream_train_epoch(
+        state, train_err, rng_key, n_steps = stream_train_epoch(
             train_step, sds, spec, state, train_idx, batch_size,
-            rng_key, shuffle_seed_base + epoch,
+            rng_key, shuffle_seed_base + epoch, packed=packed, dp=dp,
         )
         val_err = (
-            stream_evaluate(eval_step, sds, spec, state, val_idx, batch_size)
+            stream_evaluate(eval_step, sds, spec, state, val_idx, batch_size,
+                            packed=packed, dp=dp)
             if has_val else float("nan")
         )
         if meter is not None:

@@ -231,3 +231,22 @@ def test_windowed_kernel_under_mesh(toy_dataset, jobdir, eight_devices):
     for split in ("train", "val", "test"):
         assert np.isfinite(errors[split])
         assert abs(errors[split] - ref[split]) < 5e-4, split
+
+
+def test_train_regular_streaming_packed_spmd(sds, jobdir, eight_devices):
+    """Streaming × packed × dp mesh: host packs per-replica bins from
+    shard-local orders; the SPMD batch-fed step consumes the (dp, B)
+    stacked pytree."""
+    from matdeeplearn_tpu.training import train_regular
+
+    mesh = make_mesh(dp=2, ep=1, devices=eight_devices[:2])
+    errors = train_regular(
+        sds,
+        {"job_name": "stpkm", "seed": 5, "save_model": "False",
+         "write_output": "False"},
+        TRAIN_PARAMS,
+        {**MODEL_PARAMS, "batch_size": 4, "batching": "packed"},
+        mesh=mesh,
+    )
+    for split in ("train", "val", "test"):
+        assert np.isfinite(errors[split]), split
