@@ -137,8 +137,13 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
         edges_per_epoch=float(np.asarray(ds.edge_counts())[tr].sum()),
         graphs_per_epoch=float(len(tr)),
     )
-    attach_analytic_flops(meter, run.model_name, run.model_config, run.spec,
-                          len(tr), len(va), batch)
+    attach_analytic_flops(
+        meter, run.model_name, run.model_config, run.spec,
+        len(tr), len(va), batch,
+        fused_kernel=run.kernel_mode == "fused",
+        steps_per_epoch=(run.id_matrix_fn(tr, True, 7).shape[0]
+                         if run.id_matrix_fn is not None else None),
+    )
     # Warmup with the SAME chunk length as the timed run — chunk length is
     # baked into the scanned program shape, so a different-k warmup would
     # leave the timed chunk paying compile/cache-load.
@@ -163,8 +168,10 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
     from matdeeplearn_tpu.utils.profiling import device_peaks
 
     train_edges = float(np.asarray(ds.edge_counts())[tr].sum())
-    steps = -(-len(tr) // batch)
+    steps = (run.id_matrix_fn(tr, True, 7).shape[0]
+             if run.id_matrix_fn is not None else -(-len(tr) // batch))
     flops_epoch = meter.flops_per_epoch  # analytic (attach_analytic_flops)
+    bytes_epoch = meter.bytes_per_epoch
     peaks = device_peaks()
     rec = {
         "config": name, "s_per_epoch": round(sec_per_epoch, 3),
@@ -174,10 +181,18 @@ def run_config(name, ds, extra, tr, va, batch, epochs, stream_dir=None):
         "step_ms": round(sec_per_epoch / steps * 1e3, 2),
         "model_flops_per_s": round(flops_epoch / sec_per_epoch),
         "setup_s": round(setup_s, 1), "warmup_s": round(warm_s, 1),
+        "kernel_mode": run.kernel_mode,
     }
     if peaks is not None and flops_epoch > 0:
         rec["mfu_pct"] = round(
             100.0 * flops_epoch / sec_per_epoch / peaks[0], 2
+        )
+    if peaks is not None and bytes_epoch > 0:
+        # Analytic HBM traffic vs the chip peak (VERDICT r3 missing #5):
+        # single-digit here AND single-digit MFU = latency-bound, not
+        # bandwidth-bound.
+        rec["hbm_util_pct"] = round(
+            100.0 * bytes_epoch / sec_per_epoch / peaks[1], 2
         )
     if stream_dir is not None:
         # Host-assembly profile: can the host feed the chip? Uses the same
@@ -245,17 +260,42 @@ def main():
             batch = args.batch
         elif name == "bf16":
             extra = {"kernel": "xla", "precision": "bf16"}
+        elif name == "bf16-packed":
+            extra = {"kernel": "xla", "batching": "packed",
+                     "precision": "bf16"}
+            batch = args.batch
+        elif name == "bf16-packed-fused":
+            extra = {"kernel": "fused", "batching": "packed",
+                     "precision": "bf16"}
+            batch = args.batch
+        elif name == "schnet-xla":
+            extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
+                     "kernel": "xla"}
+        elif name == "schnet-fused":
+            extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
+                     "kernel": "fused"}
+        elif name == "schnet-packed-fused":
+            extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
+                     "kernel": "fused", "batching": "packed"}
+            batch = args.batch
         elif name == "stream":
             extra = {"kernel": "xla"}
             sdir = os.path.join(CACHE, f"shards_{args.n}")
+        elif name == "stream-packed":
+            extra = {"kernel": "xla", "batching": "packed"}
+            batch = args.batch
+            sdir = os.path.join(CACHE, f"shards_{args.n}")
+        label = "/".join(filter(None, [
+            "streaming" if sdir else "in-memory",
+            extra.get("model", "CGCNN"),
+            extra.get("batching", "padded"),
+            extra.get("kernel"),
+            "bf16" if extra.get("precision") == "bf16" else None,
+            f"b{batch}",
+        ]))
         try:
             recs.append(run_config(
-                f"{'streaming' if sdir else 'in-memory'}/"
-                f"{extra.get('batching', 'padded')}/"
-                f"{extra.get('kernel')}"
-                + ("/bf16" if name == "bf16" else "")
-                + f"/b{batch}",
-                ds, extra, tr, va, batch, args.epochs, stream_dir=sdir,
+                label, ds, extra, tr, va, batch, args.epochs, stream_dir=sdir,
             ))
         except Exception as e:
             import traceback
@@ -263,10 +303,23 @@ def main():
             log(f"config {name} FAILED: {e}\n{traceback.format_exc()}")
             recs.append({"config": name, "error": repr(e)})
 
+    # Merge-by-label into the existing BULK.json: the crash-safe protocol is
+    # one config per process (axon tunnel instability, BULK.md), so each
+    # invocation must not wipe the other configs' records.
+    path = os.path.join(REPO, "BULK.json")
     out = {"n_structures": args.n, "batch": args.batch,
            "epochs_timed": args.epochs,
            "total_edges": int(ec.sum()), "records": recs}
-    with open(os.path.join(REPO, "BULK.json"), "w") as f:
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path))
+            new_labels = {r.get("config") for r in recs}
+            kept = [r for r in prev.get("records", [])
+                    if r.get("config") not in new_labels]
+            out["records"] = kept + recs
+        except Exception:
+            pass
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

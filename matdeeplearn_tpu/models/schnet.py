@@ -45,7 +45,8 @@ class SchNet(GNNBase):
                     else SchNetInteraction)
         for i in range(self.gc_count):
             out = out + conv_cls(
-                self.gc_dim, self.dim3, self.cutoff, name=f"conv{i}"
+                self.gc_dim, self.dim3, self.cutoff,
+                edge_width=self.edge_width, name=f"conv{i}"
             )(out, batch, edge_attr)
             if self.batch_norm:
                 out = MaskedBatchNorm(

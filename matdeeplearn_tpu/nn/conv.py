@@ -17,6 +17,8 @@ aggregated at dst. Degree/one-hot features in the reference count edge_index[0].
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -34,20 +36,23 @@ from matdeeplearn_tpu.ops.aggregate import edge_aggregate, edge_segment_mean
 
 class _LinearParams(nn.Module):
     """Declares Linear's exact parameter tree (kernel+bias, same init, same
-    scope path) without running the dense op — the fused CGConv kernel
-    consumes the raw matrices, so checkpoints/golden tests stay identical
-    across kernel modes."""
+    scope path) without running the dense op — the fused kernels consume
+    the raw matrices, so checkpoints/golden tests stay identical across
+    kernel modes."""
 
     features: int
     fan_in: int
+    kernel_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self):
         from matdeeplearn_tpu.nn.layers import torch_linear_init
 
-        init = torch_linear_init(self.fan_in)
-        k = self.param("kernel", init, (self.fan_in, self.features))
-        b = self.param("bias", init, (self.features,))
+        default = torch_linear_init(self.fan_in)
+        k = self.param("kernel", self.kernel_init or default,
+                       (self.fan_in, self.features))
+        b = self.param("bias", self.bias_init or default, (self.features,))
         return k, b
 
 
@@ -145,9 +150,53 @@ class SchNetInteraction(nn.Module):
     dim: int        # node feature width (gc_dim)
     filters: int    # num_filters (dim3)
     cutoff: float
+    edge_width: float = 0.2
 
     @nn.compact
     def __call__(self, x, batch, edge_attr):
+        if batch.is_windowed and batch.kernel_fused:
+            # Fused cfconv (ops/pallas_fused_schnet.py): filter MLP +
+            # Gaussian basis + cosine cutoff + sum aggregation in one MXU
+            # kernel — the (E, F) filters and messages never hit HBM.
+            # Identical parameter tree to the XLA path below.
+            from matdeeplearn_tpu.ops import pallas_fused_schnet as PFS
+            from matdeeplearn_tpu.ops.pallas_segment import WindowedEdges
+
+            de = edge_attr.shape[-1]
+            w0, b0 = _LinearParams(self.filters, de,
+                                   kernel_init=xavier_uniform(),
+                                   bias_init=nn.initializers.zeros,
+                                   name="mlp0")()
+            w1, b1 = _LinearParams(self.filters, self.filters,
+                                   kernel_init=xavier_uniform(),
+                                   bias_init=nn.initializers.zeros,
+                                   name="mlp1")()
+            dt = x.dtype
+            h = Linear(self.filters, use_bias=False,
+                       kernel_init=xavier_uniform(), name="lin1")(x)
+            xj = h.astype(jnp.float32)[batch.edge_src]
+            te = batch.num_edges // batch.tile_window.shape[0]
+            we = WindowedEdges(
+                order=batch.edge_dst, dst=batch.edge_dst,
+                window_id=batch.tile_window, first_tile=batch.tile_first,
+                valid=batch.edge_mask,
+            )
+            interpret = jax.default_backend() != "tpu"
+            cfg = (batch.num_nodes, batch.window_size, te, de,
+                   self.edge_width, self.cutoff, interpret,
+                   not batch.kernel_bf16)
+            agg = PFS.fused_cfconv(
+                cfg, xj, batch.edge_dist_norm, batch.edge_weight, we,
+                w0, b0[None, :], w1, b1[None, :],
+            )
+            agg = jnp.where(batch.node_mask[:, None] > 0, agg, 0.0)
+            out = Linear(self.dim, kernel_init=xavier_uniform(),
+                         bias_init=nn.initializers.zeros,
+                         name="lin2")(agg.astype(dt))
+            out = shifted_softplus(out)
+            return Linear(self.dim, kernel_init=xavier_uniform(),
+                          bias_init=nn.initializers.zeros, name="lin")(out)
+
         w = Linear(self.filters, kernel_init=xavier_uniform(),
                    bias_init=nn.initializers.zeros, name="mlp0")(edge_attr)
         w = shifted_softplus(w)

@@ -149,8 +149,12 @@ def setup_run(
             and jax.default_backend() == "tpu")
     )
     use_windowed = eligible and (kernel == "pallas" or fused_mode)
-    if kernel == "fused" and model_name != "CGCNN" and eligible:
-        print("kernel=fused applies to CGCNN's CGConv; other models run "
+    # Fused message+aggregation kernels exist for CGConv (ops/pallas_fused)
+    # and SchNet's cfconv (ops/pallas_fused_schnet, r4); other models on
+    # kernel=fused run the windowed aggregation kernel.
+    fused_mode = fused_mode and model_name in ("CGCNN", "SchNet")
+    if kernel == "fused" and not fused_mode and eligible:
+        print("kernel=fused applies to CGCNN and SchNet; other models run "
               "the windowed aggregation kernel (kernel=pallas behavior)")
 
     if use_windowed:

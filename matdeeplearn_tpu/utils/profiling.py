@@ -314,9 +314,13 @@ def analytic_step_bytes(model_name: str, cfg: dict, n_nodes: int,
     elif model_name == "GCN":
         b += gc * (2 * N * D + 2 * E * D + E)  # h, gather, scatter, weights
     elif model_name == "SchNet":
-        # filter MLP on edge_attr (E·De read, E·D3 ×2 write+read), h gather,
-        # msg, scatter
-        b += gc * (E * De + 4 * E * D3 + N * D3 + 2 * E * D3 + N * D)
+        if fused_kernel:
+            # fused cfconv: h, h[src] gather, dist+raw, output write
+            b += gc * (N * D3 + E * D3 + 2 * E + N * D3)
+        else:
+            # filter MLP on edge_attr (E·De read, E·D3 ×2 write+read),
+            # h gather, msg, scatter
+            b += gc * (E * De + 4 * E * D3 + N * D3 + 2 * E * D3 + N * D)
     elif model_name == "MPNN":
         # edge-net intermediate (E·D3), per-edge weight matrices E·D·D (the
         # dominant term), message gather+scatter, GRU node traffic

@@ -132,12 +132,13 @@ def test_fused_training_matches_xla_training(toy_dataset):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_fused_flag_requires_cgcnn_eligibility(toy_dataset, capsys):
-    mp = {"model": "SchNet", "dim1": 16, "dim2": 16, "dim3": 16,
-          "gc_count": 1, "post_fc_count": 1, "batch_size": 8,
-          "kernel": "fused"}
-    J.setup_run(toy_dataset, mp, "l1_loss", seed=0, print_model=False)
-    assert "kernel=fused applies to CGCNN" in capsys.readouterr().out
+def test_fused_flag_requires_eligibility(toy_dataset, capsys):
+    mp = {"model": "GCN", "dim1": 16, "dim2": 16, "gc_count": 1,
+          "post_fc_count": 1, "batch_size": 8, "kernel": "fused"}
+    run = J.setup_run(toy_dataset, mp, "l1_loss", seed=0, print_model=False)
+    assert "kernel=fused applies to CGCNN and SchNet" in \
+        capsys.readouterr().out
+    assert run.kernel_mode == "pallas"
 
 
 # ------------------------------------------------------------- fused x packed
