@@ -59,6 +59,7 @@ def build_corpus(n: int, seed: int = 0):
             edge_dist_norm=d["edge_dist_norm"], node_ptr=d["node_ptr"],
             edge_ptr=d["edge_ptr"], y=d["y"], u=d["u"],
             structure_ids=[str(i) for i in range(len(d["y"]))],
+            cache_dir=CACHE,  # windowed layouts disk-cache next to the corpus
         )
 
     from matdeeplearn_tpu.data import graphs as G
@@ -105,7 +106,8 @@ def build_corpus(n: int, seed: int = 0):
     )
     np.savez(path, **arrays)
     log(f"corpus built in {time.time() - t0:.0f}s -> {path}")
-    return GraphDataset(structure_ids=[str(i) for i in range(n)], **arrays)
+    return GraphDataset(structure_ids=[str(i) for i in range(n)],
+                        cache_dir=CACHE, **arrays)
 
 
 MODEL = {"model": "CGCNN", "dim1": 100, "dim2": 150, "pre_fc_count": 1,

@@ -193,6 +193,8 @@ def fused_trainer(
     first chunk of each distinct chunk length (a fresh compile) counts as
     warmup — and the XLA cost model's FLOPs/bytes per epoch are recorded
     once for MFU/roofline reporting."""
+    import os
+
     from matdeeplearn_tpu.training.train import epoch_id_matrix
 
     has_val = len(val_idx) > 0
@@ -200,6 +202,15 @@ def fused_trainer(
         train_body, eval_body, has_val=has_val,
         scheduler_kwargs=scheduler_kwargs, scheduler_enabled=scheduler_enabled,
     )
+    # Max seconds per fused dispatch (0 = unbounded). Chunk length only
+    # affects host sync cadence (prints/checkpoints), never training
+    # semantics, so it is safe to shrink adaptively. Motivation: the
+    # r3 "padded-xla-46k crashes reproducibly" mystery bisected to single
+    # XLA dispatches longer than ~60 s being killed by the tunneled TPU
+    # worker (46k padded = 22.4 s/epoch × 3-epoch chunk; the same program
+    # runs clean in 1-epoch chunks). Real TPU VMs tolerate long dispatches;
+    # set MDL_MAX_DISPATCH_S when the runtime does not.
+    max_dispatch_s = float(os.environ.get("MDL_MAX_DISPATCH_S", "0") or 0)
     idm = id_matrix_fn or partial(epoch_id_matrix, batch_size=batch_size)
     val_ids = jnp.asarray(
         idm(val_idx, shuffle=False, seed=None)
@@ -220,6 +231,12 @@ def fused_trainer(
     epoch = 0
     while epoch < epochs:
         k = min(chunk, epochs - epoch)
+        if max_dispatch_s > 0 and epoch > 0:
+            # steady-state per-epoch time from the last chunk bounds the
+            # next dispatch under the budget (warmup chunk excluded —
+            # it includes compile)
+            per_epoch = dt_chunk / max(k_last, 1)
+            k = max(1, min(k, int(max_dispatch_s / max(per_epoch, 1e-9))))
         ids = np.stack([
             idm(train_idx, shuffle=True, seed=shuffle_seed_base + epoch + e + 1)
             for e in range(k)
@@ -227,6 +244,7 @@ def fused_trainer(
         ids_dev = jnp.asarray(ids)
         carry, metrics = fused(carry, data, ids_dev, val_ids)
         epoch += k
+        k_last = k
         train_err = float(metrics["train_error"][-1])
         val_err = float(metrics["val_error"][-1])
         lr_now = float(metrics["lr"][-1])

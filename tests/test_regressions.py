@@ -152,3 +152,36 @@ def test_ensemble_multi_output(tmp_path, monkeypatch):
     # Partial removed the per-model split outputs (reference
     # training.py:1190-1196)
     assert not (tmp_path / "mens_0_A_test_outputs.csv").exists()
+
+
+def test_fused_trainer_max_dispatch_chunk_cap(toy_dataset, monkeypatch):
+    """MDL_MAX_DISPATCH_S shrinks chunk length after the first dispatch so
+    no single fused dispatch exceeds the budget (the r4 diagnosis of the
+    r3 padded-xla-46k crash: >60 s dispatches killed by the tunneled TPU
+    worker). Chunking never changes semantics — same final errors."""
+    import numpy as np
+
+    from matdeeplearn_tpu.training import jobs as J
+
+    mp = {"model": "CGCNN", "dim1": 8, "dim2": 8, "gc_count": 1,
+          "post_fc_count": 1, "batch_size": 8, "epochs": 6, "lr": 0.01,
+          "optimizer": "AdamW", "scheduler": "ReduceLROnPlateau",
+          "print_model": False}
+    idx = np.arange(len(toy_dataset))
+    run = J.setup_run(toy_dataset, mp, "l1_loss", seed=0)
+    _, base, _ = J.run_fused_training(
+        run, train_idx=idx[:10], val_idx=idx[10:], epochs=6, verbosity=3,
+        seed=0,
+    )
+    # Tiny budget: every post-warmup chunk must shrink to 1 epoch.
+    monkeypatch.setenv("MDL_MAX_DISPATCH_S", "1e-9")
+    J.reset_run(run, 0)
+    _, capped, _ = J.run_fused_training(
+        run, train_idx=idx[:10], val_idx=idx[10:], epochs=6, verbosity=3,
+        seed=0,
+    )
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(base.params),
+                    jax.tree_util.tree_leaves(capped.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
