@@ -179,11 +179,18 @@ def stream_evaluate(eval_step, sds, spec, state, indices, batch_size,
                     out: bool = False, packed: bool = False, dp: int = 1):
     loss_sum, count_sum = 0.0, 0.0
     preds = []
+    # Assemble in SORTED id order: shards are contiguous id ranges, so a
+    # random subset (e.g. a val split) in its given order faults most of
+    # the shard LRU on every batch — measured ~118 s of decompression per
+    # eval pass at the 46k corpus (the r4 streaming bench mystery). Sorting
+    # makes eval shard-sequential; outputs are remapped to request order by
+    # id below, so callers see no difference.
+    eval_order = np.sort(np.asarray(indices))
     if packed:
-        rows = _packed_rows(sds, np.asarray(indices), spec,
+        rows = _packed_rows(sds, eval_order, spec,
                             batch_size // max(dp, 1), dp)
     else:
-        rows = _epoch_ids(indices, batch_size, shuffle=False, seed=None)
+        rows = _epoch_ids(eval_order, batch_size, shuffle=False, seed=None)
     fids = []
     for ids, batch in _prefetch_batches(rows, lambda i: sds.assemble(i, spec)):
         loss, count, pred = eval_step(state, batch)
