@@ -17,12 +17,22 @@ contributions; they are exchanged with
                    aggregate for the node-level layers that follow)
 
 both of which XLA lowers to bidirectional ring collectives on the ICI
-torus, and which its latency-hiding scheduler overlaps with the adjacent
-edge-MLP compute of neighbouring layers. This is deliberately NOT a
-hand-rolled ppermute loop: on TPU the compiler's ring collectives are the
-speed-of-light implementation, and expressing the exchange as
-reduce-scatter + all-gather (rather than one opaque psum) keeps the two
-halves independently schedulable.
+torus. This is deliberately NOT a hand-rolled ppermute loop: on TPU the
+compiler's ring collectives are the speed-of-light implementation, and
+expressing the exchange as reduce-scatter + all-gather (rather than one
+opaque psum) keeps the two halves independently schedulable.
+
+Measured traffic evidence (compiled-HLO collective census, SCALING.md r4):
+per ring-ep=8 train step the ring path emits 7 reduce-scatters + 7
+all-gathers moving ~4.7 MB of NODE-sized partials, while ep_mode="gspmd"
+on the same program emits 25 all-gathers moving ~76 MB — XLA's
+auto-partitioner un-shards the EDGE-sized operands at the constraint
+boundaries instead of reducing node partials, which is the entire
+ring-vs-gspmd gap (x1.28 vs x2.42 overhead at ep=8). Whether the TPU
+latency-hiding scheduler additionally overlaps these collectives with the
+adjacent edge-MLP compute is compiler- and topology-dependent and has NOT
+been profile-verified (no multi-chip hardware in this environment); the
+collective choice and byte volume above are the load-bearing facts.
 
 Used by ops/aggregate.py when it detects edge-sharded operands inside a
 manual shard_map region (vma contains "ep"); wired by parallel/spmd.py
