@@ -270,6 +270,18 @@ def main():
             extra = {"kernel": "fused", "batching": "packed",
                      "precision": "bf16"}
             batch = args.batch
+        elif name == "mpnn-xla":
+            extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "kernel": "xla"}
+        elif name == "mpnn-packed":
+            extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "kernel": "xla", "batching": "packed"}
+            batch = args.batch
+        elif name == "mpnn-packed-fused":
+            # NNConv bilinear message through the Pallas VMEM kernel
+            extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "kernel": "fused", "batching": "packed"}
+            batch = args.batch
         elif name == "schnet-xla":
             extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
                      "kernel": "xla"}

@@ -30,7 +30,10 @@ _COMMON = {
 MODEL_FIELDS = {
     "CGCNN": _COMMON,
     "GCN": _COMMON,
-    "MPNN": _COMMON | {"dim3"},
+    # kernel: NNConv bilinear-message path ("auto"/"fused" = Pallas VMEM
+    # kernel on TPU, "xla" = einsum) — layout-independent, so the model
+    # resolves it itself rather than jobs.py's windowed-batching logic.
+    "MPNN": _COMMON | {"dim3", "kernel"},
     "SchNet": _COMMON | {"dim3", "cutoff"},
     # ep_axis is injected by setup_run under ring-ep (mesh-derived, not a
     # YAML hyperparameter; setup_run keeps it out of checkpoint configs).

@@ -7,12 +7,13 @@ out = h = GRU(m, h) with hidden state h threaded across all conv layers
 
 from __future__ import annotations
 
+import jax
 from flax import linen as nn
 
 from matdeeplearn_tpu.data.batching import GraphBatch
 from matdeeplearn_tpu.models.base import GNNBase
-from matdeeplearn_tpu.nn.conv import NNConv
-from matdeeplearn_tpu.nn.layers import GRUCell, MaskedBatchNorm, MLP, get_activation
+from matdeeplearn_tpu.nn.conv import NNConv, _EdgeNetFactored
+from matdeeplearn_tpu.nn.layers import GRUCell, MaskedBatchNorm, get_activation
 
 
 class MPNN(GNNBase):
@@ -34,6 +35,11 @@ class MPNN(GNNBase):
     edge_width: float = 0.2
     precision: str = "f32"
     remat: bool = False
+    # kernel="auto"/"fused" routes NNConv's bilinear message through the
+    # Pallas VMEM kernel on TPU (ops/pallas_bilinear.py, measured ×2.0 at
+    # bulk scale); "xla" keeps the einsum path. Layout-independent — no
+    # windowed batching needed, so auto is safe for every batching mode.
+    kernel: str = "auto"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, training: bool = False):
@@ -42,16 +48,21 @@ class MPNN(GNNBase):
         out = self.apply_pre_fc(batch.x)
         h = out
         conv_cls = nn.remat(NNConv) if self.remat else NNConv
+        fused_msg = (
+            str(self.kernel).lower() in ("auto", "fused", "pallas")
+            and jax.default_backend() == "tpu"
+        )
         for i in range(self.gc_count):
             # Edge network: Linear(edge_dim, dim3) → ReLU → Linear(dim3, d²)
-            # (mpnn.py:83-85).
-            edge_net = MLP(
-                (self.dim3, self.gc_dim * self.gc_dim),
+            # (mpnn.py:83-85); factored form exposes the second layer's
+            # weights for the fused bilinear kernel (identical param tree).
+            edge_net = _EdgeNetFactored(
+                self.dim3, self.gc_dim * self.gc_dim,
                 act="relu",
-                act_last=False,
                 name=f"edge_nn{i}",
             )
-            m = conv_cls(self.gc_dim, edge_net, name=f"conv{i}")(out, batch, edge_attr)
+            m = conv_cls(self.gc_dim, edge_net, fused=fused_msg,
+                         name=f"conv{i}")(out, batch, edge_attr)
             if self.batch_norm:
                 m = MaskedBatchNorm(
                     track_stats=self.batch_track_stats, name=f"bn{i}"

@@ -1,0 +1,221 @@
+"""Fused NNConv bilinear-message Pallas kernel.
+
+MPNN's NNConv (reference models/mpnn.py:83-88) computes per edge
+
+    W(e) = edge_net(e_attr) ∈ R^{D×K}   (a 2-layer MLP's output, reshaped)
+    msg  = x_src @ W(e)
+
+The FLOP-heaviest operator in the reference zoo — and on TPU the XLA
+lowering is HBM-bound, not FLOP-bound: the (E, D, K) per-edge weight
+tensor (4.8 GB at bulk scale, D=K=100) materializes in HBM and the
+batched per-edge matvec runs at ~2% MFU (measured 91 ms fwd+bwd per conv
+layer at E=120k; the factored einsum reassociation only reaches 79 ms
+because it materializes an equally-large (E, H, K) intermediate).
+
+This kernel keeps the bilinear contraction entirely in VMEM. With
+a = relu(e_attr @ W0 + b0) (computed in XLA — it is only (E, H)) and the
+second layer's weights W1 ∈ R^{H×(D·K)}:
+
+    msg_e = Σ_h a_e[h] · (x_e @ W1[h]) + x_e @ b1            (per edge)
+
+per tile of TE edges, loop h: one (TE, D) @ (D, K) MXU matmul scaled by
+the a-column — the (D, K) weight slice streams from a resident 4 MB VMEM
+block and NO edge-indexed D×K tensor ever exists in HBM. HBM traffic per
+layer drops from ~10 GB to ~100 MB (xj, a, msg and grads only).
+
+The backward rematerializes nothing (all inputs are small); one kernel
+pass produces d_xj, d_a and the accumulated d_W1 / d_b1 (constant-index
+accumulator blocks, like ops/pallas_fused.py's weight grads).
+
+Unlike the windowed kernels this one needs NO special edge layout — it
+tiles the flat edge dimension, so it composes with padded, packed and
+windowed batching alike; aggregation stays on the XLA scatter path
+(aggregation is not MPNN's bottleneck).
+
+Reference role replaced: torch_geometric NNConv's per-edge weight matmul
+(torch_scatter/PyG CUDA path; SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(xj_ref, a_ref, w1_ref, b1_ref, out_ref, *, te, d, h, k):
+    xj = xj_ref[:]                       # (TE, D)
+    a = a_ref[:]                         # (TE, H)
+    acc = _mm(xj, b1_ref[:])             # (TE, K) — bias term
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+
+    def body(i, acc):
+        w = w1_ref[pl.ds(i, 1), :, :].reshape(d, k)  # squeeze leading 1
+        # column i of `a` via an iota mask — Mosaic forbids dynamic
+        # lane-dimension slices; the masked reduce is ~TE·H VPU ops, noise
+        # next to the (TE,D)@(D,K) MXU matmul.
+        ai = jnp.sum(a * (cols == i).astype(jnp.float32), axis=1,
+                     keepdims=True)                          # (TE, 1)
+        return acc + ai * _mm(xj, w)
+
+    acc = jax.lax.fori_loop(0, h, body, acc)
+    out_ref[:] = acc
+
+
+def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
+                dxj_ref, da_ref, dw1_ref, db1_ref, *, te, d, h, k):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    xj = xj_ref[:]
+    g = g_ref[:]                          # (TE, K) cotangent of msg
+    db1_ref[:] += jax.lax.dot_general(
+        xj, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # d_xj's bias term (g @ b1ᵀ) is added in XLA by the VJP wrapper so b1
+    # need not be a kernel input; here only the W1 part accumulates.
+    a = a_ref[:]                         # (TE, H)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+    dxj0 = jnp.zeros((te, d), jnp.float32)
+    da0 = jnp.zeros((te, h), jnp.float32)
+
+    def body(i, carry):
+        dxj, da = carry
+        sel = (cols == i).astype(jnp.float32)                # (1, H)
+        w = w1_ref[pl.ds(i, 1), :, :].reshape(d, k)
+        ai = jnp.sum(a * sel, axis=1, keepdims=True)         # (TE, 1)
+        t_h = _mm(xj, w)                                     # (TE, K)
+        # d_a[:, i] = Σ_k t_h ⊙ g — scattered back via the same mask
+        da_col = jnp.sum(t_h * g, axis=1, keepdims=True)     # (TE, 1)
+        da = da + da_col * sel
+        tmp = ai * g                                         # (TE, K)
+        dw = jax.lax.dot_general(
+            xj, tmp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[None]                                              # (1, D, K)
+        dw1_ref[pl.ds(i, 1), :, :] += dw
+        dxj = dxj + jax.lax.dot_general(
+            tmp, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dxj, da
+
+    dxj, da = jax.lax.fori_loop(0, h, body, (dxj0, da0))
+    dxj_ref[:] = dxj
+    da_ref[:] = da
+
+
+def _reference_compose(xj, a, w1, b1):
+    """Pure-XLA oracle / interpret+manual fallback: identical math."""
+    e, d = xj.shape
+    k = b1.shape[0] // d
+    w_e = (a @ w1 + b1).reshape(e, d, k)
+    return jnp.einsum("ed,edk->ek", xj, w_e,
+                      preferred_element_type=jnp.float32)
+
+
+def _fwd_impl(cfg, xj, a, w1, b1):
+    te, interpret = cfg
+    e, d = xj.shape
+    h = a.shape[1]
+    k = b1.shape[0] // d
+    in_manual = bool(getattr(jax.typeof(xj), "vma", frozenset()))
+    if interpret and in_manual:
+        return _reference_compose(xj, a, w1, b1)
+    ep = _round_up(e, te)
+    if ep != e:
+        xj = jnp.pad(xj, ((0, ep - e), (0, 0)))
+        a = jnp.pad(a, ((0, ep - e), (0, 0)))
+    out = pl.pallas_call(
+        partial(_fwd_kernel, te=te, d=d, h=h, k=k),
+        grid=(ep // te,),
+        in_specs=[
+            pl.BlockSpec((te, d), lambda i: (i, 0)),
+            pl.BlockSpec((te, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, d, k), lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((te, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ep, k), jnp.float32),
+        interpret=interpret,
+    )(xj, a, w1.reshape(h, d, k), b1.reshape(d, k))
+    return out[:e]
+
+
+def _bwd_impl(cfg, xj, a, w1, b1, g):
+    te, interpret = cfg
+    e, d = xj.shape
+    h = a.shape[1]
+    k = b1.shape[0] // d
+    ep = _round_up(e, te)
+    if ep != e:
+        xj = jnp.pad(xj, ((0, ep - e), (0, 0)))
+        a = jnp.pad(a, ((0, ep - e), (0, 0)))
+        g = jnp.pad(g, ((0, ep - e), (0, 0)))
+    dxj, da, dw1, db1 = pl.pallas_call(
+        partial(_bwd_kernel, te=te, d=d, h=h, k=k),
+        grid=(ep // te,),
+        in_specs=[
+            pl.BlockSpec((te, d), lambda i: (i, 0)),
+            pl.BlockSpec((te, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, d, k), lambda i: (0, 0, 0)),
+            pl.BlockSpec((te, k), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((te, d), lambda i: (i, 0)),
+            pl.BlockSpec((te, h), lambda i: (i, 0)),
+            pl.BlockSpec((h, d, k), lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, k), lambda i: (0, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((ep, d), jnp.float32),
+            jax.ShapeDtypeStruct((ep, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, d, k), jnp.float32),
+            jax.ShapeDtypeStruct((d, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xj, a, w1.reshape(h, d, k), g)
+    # bias part of d_xj lives in XLA: d_xj += g @ b1ᵀ (kernel skips it so
+    # b1 need not be an input of the backward pass).
+    dxj = dxj[:e] + g[:e] @ b1.reshape(d, k).T
+    return dxj, da[:e], dw1.reshape(h, d * k), db1.reshape(d * k)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_bilinear_msg(cfg, xj, a, w1, b1):
+    """msg[e] = Σ_h a[e,h]·(xj[e] @ W1[h]) + xj[e] @ b1  — NNConv's
+    edge-conditioned message with the (E, D, K) weight tensor kept in
+    VMEM. cfg = (edge_tile, interpret)."""
+    return _fwd_impl(cfg, xj, a, w1, b1)
+
+
+def _fb_fwd(cfg, xj, a, w1, b1):
+    return _fwd_impl(cfg, xj, a, w1, b1), (xj, a, w1, b1)
+
+
+def _fb_bwd(cfg, res, g):
+    xj, a, w1, b1 = res
+    interpret = cfg[1]
+    in_manual = bool(getattr(jax.typeof(xj), "vma", frozenset()))
+    if interpret and in_manual:
+        _, vjp = jax.vjp(lambda *p: _reference_compose(*p), xj, a, w1, b1)
+        return vjp(g)
+    return _bwd_impl(cfg, xj, a, w1, b1, g)
+
+
+fused_bilinear_msg.defvjp(_fb_fwd, _fb_bwd)

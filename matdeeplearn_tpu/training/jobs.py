@@ -142,20 +142,35 @@ def setup_run(
     # auto × packed stays XLA pending the r4 A/B at the 46k flagship
     # (KERNELS.md); kernel="fused" with batching="packed" runs the fused
     # kernel over packed windowed bins.
-    fused_mode = eligible and (
+    # Fused-kernel matrix (all TPU-measured, KERNELS.md):
+    #   CGCNN/SchNet: fused = windowed message+aggregation Pallas kernels
+    #     (need the windowed edge layout).
+    #   MPNN: fused = the layout-independent bilinear-message VMEM kernel
+    #     (ops/pallas_bilinear.py) resolved INSIDE the model via its
+    #     `kernel` field — no windowed batching here, aggregation stays XLA.
+    #   GCN/MEGNet: kernel=fused falls back to the windowed aggregation
+    #     kernel (kernel=pallas behavior) with a loud note.
+    fused_mode = eligible and model_name in ("CGCNN", "SchNet") and (
         kernel == "fused"
         or (kernel == "auto" and model_name == "CGCNN"
             and batching_req != "packed"
             and jax.default_backend() == "tpu")
     )
-    use_windowed = eligible and (kernel == "pallas" or fused_mode)
-    # Fused message+aggregation kernels exist for CGConv (ops/pallas_fused)
-    # and SchNet's cfconv (ops/pallas_fused_schnet, r4); other models on
-    # kernel=fused run the windowed aggregation kernel.
-    fused_mode = fused_mode and model_name in ("CGCNN", "SchNet")
-    if kernel == "fused" and not fused_mode and eligible:
-        print("kernel=fused applies to CGCNN and SchNet; other models run "
-              "the windowed aggregation kernel (kernel=pallas behavior)")
+    mpnn_fused = (
+        model_name == "MPNN" and kernel in ("auto", "fused")
+        and jax.default_backend() == "tpu"
+    )
+    use_windowed = eligible and (
+        kernel == "pallas"
+        or fused_mode
+        or (kernel == "fused"
+            and model_name not in ("CGCNN", "SchNet", "MPNN"))
+    )
+    if (kernel == "fused" and eligible
+            and model_name not in ("CGCNN", "SchNet", "MPNN")):
+        print("kernel=fused applies to CGCNN, SchNet and MPNN; other "
+              "models run the windowed aggregation kernel "
+              "(kernel=pallas behavior)")
 
     if use_windowed:
         from matdeeplearn_tpu.data.batching import (
@@ -260,7 +275,8 @@ def setup_run(
         "resolved: model={} kernel={} batching={} mesh=dp{}xep{} stream={} "
         "spec=(B={},N={},E={})".format(
             model_name,
-            "fused" if fused_mode else "pallas" if use_windowed else "xla",
+            "fused" if (fused_mode or mpnn_fused)
+            else "pallas" if use_windowed else "xla",
             "packed" if use_packed else "padded",
             dp, ep, "y" if is_stream else "n",
             spec.num_graphs, spec.num_nodes, spec.num_edges,
@@ -405,7 +421,7 @@ def setup_run(
         train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec, assemble_fn)
         eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
-        kernel_mode=("fused" if fused_mode
+        kernel_mode=("fused" if (fused_mode or mpnn_fused)
                      else "pallas" if use_windowed else "xla"),
         stream_packed=is_stream and use_packed,
         dp=dp,

@@ -322,10 +322,15 @@ def analytic_step_bytes(model_name: str, cfg: dict, n_nodes: int,
             # h gather, msg, scatter
             b += gc * (E * De + 4 * E * D3 + N * D3 + 2 * E * D3 + N * D)
     elif model_name == "MPNN":
-        # edge-net intermediate (E·D3), per-edge weight matrices E·D·D (the
-        # dominant term), message gather+scatter, GRU node traffic
-        b += gc * (E * De + E * D3 + 2 * E * D * D + 2 * E * D
-                   + N * D * 8)
+        if fused_kernel:
+            # bilinear VMEM kernel: the (E, D, D) weight tensor never hits
+            # HBM — xj, a, msg and grads only
+            b += gc * (E * De + 2 * E * D3 + 3 * E * D + N * D * 8)
+        else:
+            # edge-net intermediate (E·D3), per-edge weight matrices E·D·D
+            # (the dominant term), message gather+scatter, GRU node traffic
+            b += gc * (E * De + E * D3 + 2 * E * D * D + 2 * E * D
+                       + N * D * 8)
     elif model_name == "MEGNet":
         # comb_e (E·4D3) write+read, e_out, node comb (N·3D3), u rows
         b += gc * (3 * E * 4 * D3 + 2 * E * D3 + 3 * N * 3 * D3

@@ -136,7 +136,7 @@ def test_fused_flag_requires_eligibility(toy_dataset, capsys):
     mp = {"model": "GCN", "dim1": 16, "dim2": 16, "gc_count": 1,
           "post_fc_count": 1, "batch_size": 8, "kernel": "fused"}
     run = J.setup_run(toy_dataset, mp, "l1_loss", seed=0, print_model=False)
-    assert "kernel=fused applies to CGCNN and SchNet" in \
+    assert "kernel=fused applies to CGCNN, SchNet and MPNN" in \
         capsys.readouterr().out
     assert run.kernel_mode == "pallas"
 

@@ -131,7 +131,10 @@ def test_nnconv_and_gru_match_pyg_math():
     msg = torch.einsum("ed,edk->ek", tx[src], w)
     want = _scatter(msg, dst, N, "mean") + tx @ root + bias
 
-    edge_net = MLP(features=(dim3, F_NODE * F_NODE), act="relu", act_last=False)
+    # r4: the edge net is the factored form (same param tree as the MLP it
+    # replaced — lin0 Linear + lin1 kernel/bias — so the torch goldens
+    # transfer unchanged).
+    edge_net = C._EdgeNetFactored(dim3, F_NODE * F_NODE, act="relu")
     params = {
         "edge_net": {"lin0": _lin(e0), "lin1": _lin(e1)},
         "root": jnp.asarray(root.numpy()),
