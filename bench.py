@@ -107,7 +107,7 @@ def main():
     )
     jax.block_until_ready(last.params)
     sec_per_epoch = (time.time() - t0) / n_epochs
-    edges_per_sec = len(np.asarray(run.data.edge_src)) * 0.8 / sec_per_epoch
+    edges_per_sec = float(np.sum(ds.edge_counts())) * 0.8 / sec_per_epoch
     rates = meter.rates()
     log("meter:", meter.report())
 
@@ -209,7 +209,7 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
             jax.block_until_ready(last.params)
             times[kern] = (time.time() - t0) / epochs
             log(f"bulk {kern}: {times[kern]:.3f} s/epoch")
-        return {
+        out = {
             "bulk_epoch_s_fused": round(times["fused"], 4),
             "bulk_epoch_s_pallas": round(times["pallas"], 4),
             "bulk_epoch_s_xla": round(times["xla"], 4),
@@ -217,6 +217,44 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
             "bulk_pallas_speedup": round(times["xla"] / times["pallas"], 3),
             "bulk_edges_per_batch": round(edges_per_batch),
         }
+        # MPNN fused-bilinear A/B (r4, ops/pallas_bilinear.py): the
+        # framework's largest kernel win — x3.4 at 46k (KERNELS.md r4).
+        # Small batch: the XLA leg materializes the (E, D, K) tensor, so
+        # big packed bins (b256 -> E~193k slots -> 7.7 GB) blow the
+        # compile; b64 keeps it ~2.5 GB. Isolated try: an MPNN failure
+        # must not discard the CGCNN results above.
+        try:
+            mtimes = {}
+            for kern in ("fused", "xla"):
+                mp = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                      "dim3": 100, "pre_fc_count": 1, "gc_count": 4,
+                      "post_fc_count": 3, "batch_size": 64,
+                      "epochs": epochs, "lr": 0.001, "optimizer": "AdamW",
+                      "scheduler": "ReduceLROnPlateau", "kernel": kern,
+                      "batching": "packed"}
+                run = J.setup_run(ds, mp, "l1_loss", seed=7,
+                                  print_model=False)
+                _, last, _ = J.run_fused_training(
+                    run, train_idx=tr, val_idx=va, epochs=epochs,
+                    verbosity=epochs, seed=7,
+                )
+                jax.block_until_ready(last.params)
+                run.state = last
+                t0 = time.time()
+                _, last, _ = J.run_fused_training(
+                    run, train_idx=tr, val_idx=va, epochs=epochs,
+                    verbosity=epochs, seed=8,
+                )
+                jax.block_until_ready(last.params)
+                mtimes[kern] = (time.time() - t0) / epochs
+                log(f"bulk MPNN {kern}: {mtimes[kern]:.3f} s/epoch")
+            out["bulk_mpnn_epoch_s_fused"] = round(mtimes["fused"], 4)
+            out["bulk_mpnn_epoch_s_xla"] = round(mtimes["xla"], 4)
+            out["bulk_mpnn_fused_speedup"] = round(
+                mtimes["xla"] / mtimes["fused"], 3)
+        except Exception:
+            log("bulk MPNN segment failed:\n" + traceback.format_exc())
+        return out
     except Exception:
         log("bulk segment failed:\n" + traceback.format_exc())
         return {}

@@ -282,6 +282,19 @@ def main():
             extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
                      "dim3": 100, "kernel": "fused", "batching": "packed"}
             batch = args.batch
+        elif name == "megnet-packed":
+            extra = {"model": "MEGNet", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "gc_fc_count": 2, "kernel": "xla",
+                     "batching": "packed"}
+            batch = args.batch
+        elif name == "gcn-packed":
+            extra = {"model": "GCN", "dim1": 100, "dim2": 150,
+                     "kernel": "xla", "batching": "packed"}
+            batch = args.batch
+        elif name == "schnet-packed":
+            extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
+                     "kernel": "xla", "batching": "packed"}
+            batch = args.batch
         elif name == "schnet-xla":
             extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
                      "kernel": "xla"}
