@@ -282,6 +282,11 @@ def main():
             extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
                      "dim3": 100, "kernel": "fused", "batching": "packed"}
             batch = args.batch
+        elif name == "mpnn-packed-fused-bf16":
+            extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "kernel": "fused", "batching": "packed",
+                     "precision": "bf16"}
+            batch = args.batch
         elif name == "megnet-packed":
             extra = {"model": "MEGNet", "dim1": 100, "dim2": 100,
                      "dim3": 100, "gc_fc_count": 2, "kernel": "xla",
