@@ -77,6 +77,141 @@ def plateau_step(
     return PlateauState(lr=lr, best=best, num_bad=num_bad, cooldown=cd)
 
 
+def _host_plateau(lr, best, num_bad, cooldown_ct, metric, *, factor,
+                  patience, threshold, min_lr, cooldown=0,
+                  threshold_mode="rel", enabled=True):
+    """Host-float twin of plateau_step (torch ReduceLROnPlateau, mode=min)
+    for the segmented trainer — eager jnp scalar math would round-trip the
+    TPU tunnel per op."""
+    if not enabled:
+        return lr, best, num_bad, cooldown_ct
+    if threshold_mode == "rel":
+        is_better = metric < best * (1.0 - threshold)
+    else:
+        is_better = metric < best - threshold
+    best = metric if is_better else best
+    num_bad = 0 if is_better else num_bad + 1
+    if cooldown_ct > 0:
+        cooldown_ct -= 1
+        num_bad = 0
+    if num_bad > patience:
+        lr = max(lr * factor, min_lr)
+        cooldown_ct = cooldown
+        num_bad = 0
+    return lr, best, num_bad, cooldown_ct
+
+
+def _segmented_trainer(*, train_body, eval_body, state, data, train_idx,
+                       val_idx, epochs, verbosity, lr, scheduler_kwargs,
+                       scheduler_enabled, rng_key, checkpoint_fn, idm,
+                       seg_rows, meter, shuffle_seed_base):
+    """Sub-epoch dispatch driver: one epoch = several fixed-shape scan
+    dispatches over row segments of the id matrix (pad rows of -1 make the
+    last segment shape-stable). Semantics identical to the fused on-device
+    trainer — per-step rng splits, count-weighted epoch error, best-val
+    params kept on device, plateau scheduler on the train error — only the
+    epoch state machine runs on the host. Exists for runtimes that kill
+    long single dispatches (MDL_MAX_DISPATCH_S, see fused_trainer)."""
+    import time
+
+    @jax.jit
+    def seg_train(state, data, ids_matrix, rng, lsum, csum):
+        def body(carry, ids_row):
+            state, rng, ls, cs = carry
+            rng, sub = jax.random.split(rng)
+            state, loss, count = train_body(state, data, ids_row, sub)
+            return (state, rng, ls + loss * count, cs + count), None
+
+        (state, rng, lsum, csum), _ = jax.lax.scan(
+            body, (state, rng, lsum, csum), ids_matrix
+        )
+        return state, rng, lsum, csum
+
+    @jax.jit
+    def seg_eval(state, data, ids_matrix, lsum, csum):
+        def body(c, row):
+            ls, cs = c
+            loss, count, _ = eval_body(state, data, row)
+            return (ls + loss * count, cs + count), None
+
+        (lsum, csum), _ = jax.lax.scan(body, (jnp.zeros(()), jnp.zeros(())),
+                                       ids_matrix)
+        return lsum, csum
+
+    @partial(jax.jit, static_argnums=())
+    def select_best(improved, cand_p, cand_s, best_p, best_s):
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(improved, x, y), a, b)
+        return sel(cand_p, best_p), sel(cand_s, best_s)
+
+    has_val = len(val_idx) > 0
+    val_ids = (idm(val_idx, shuffle=False, seed=None) if has_val else None)
+    best_val = float("inf")
+    best_params, best_stats = state.params, state.batch_stats
+    sched = dict(lr=lr, best=float("inf"), num_bad=0, cooldown_ct=0)
+    rng = rng_key
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        ids = idm(train_idx, shuffle=True, seed=shuffle_seed_base + epoch)
+        S, B = ids.shape
+        nseg = -(-S // seg_rows)
+        pad = nseg * seg_rows - S
+        if pad:
+            ids = np.vstack([ids, np.full((pad, B), -1, ids.dtype)])
+        lsum = csum = jnp.zeros(())
+        for s in range(nseg):
+            seg = jnp.asarray(ids[s * seg_rows:(s + 1) * seg_rows])
+            state, rng, lsum, csum = seg_train(state, data, seg, rng,
+                                               lsum, csum)
+        train_err = float(lsum) / max(float(csum), 1.0)
+        if has_val:
+            vl, vc = seg_eval(state, data, jnp.asarray(val_ids),
+                              jnp.zeros(()), jnp.zeros(()))
+            val_err = float(vl) / max(float(vc), 1.0)
+            improved = val_err < best_val
+        else:
+            val_err = float("nan")
+            improved = True
+        if improved and not np.isnan(val_err):
+            best_val = val_err if has_val else best_val
+        if improved:
+            best_params, best_stats = select_best(
+                jnp.asarray(True), state.params, state.batch_stats,
+                best_params, best_stats)
+        lr_before = sched["lr"]
+        sched["lr"], sched["best"], sched["num_bad"], sched["cooldown_ct"] = \
+            _host_plateau(sched["lr"], sched["best"], sched["num_bad"],
+                          sched["cooldown_ct"], train_err,
+                          enabled=scheduler_enabled, **scheduler_kwargs)
+        state = state.with_lr(sched["lr"])
+        dt = time.time() - t0
+        if meter is not None:
+            meter.add_chunk(1, S, dt, key=("seg", seg_rows) if epoch == 1
+                            else None, warmup=None if epoch == 1 else False)
+        if verbosity and epoch % verbosity == 0:
+            print(
+                "Epoch: {:04d}, Learning Rate: {:.6f}, Training Error: "
+                "{:.5f}, Val Error: {:.5f}, Time per epoch (s): {:.5f}"
+                .format(epoch, lr_before, train_err, val_err, dt)
+            )
+        if checkpoint_fn is not None:
+            carry = FusedCarry(
+                state=state, sched=PlateauState(
+                    lr=jnp.asarray(sched["lr"]),
+                    best=jnp.asarray(sched["best"]),
+                    num_bad=jnp.asarray(sched["num_bad"]),
+                    cooldown=jnp.asarray(sched["cooldown_ct"])),
+                best_val=jnp.asarray(best_val), best_params=best_params,
+                best_stats=best_stats, rng=rng)
+            checkpoint_fn(carry)
+    best_state = state.replace(params=best_params, batch_stats=best_stats)
+    final = PlateauState(lr=jnp.asarray(sched["lr"]),
+                         best=jnp.asarray(sched["best"]),
+                         num_bad=jnp.asarray(sched["num_bad"]),
+                         cooldown=jnp.asarray(sched["cooldown_ct"]))
+    return best_state, state, final
+
+
 class FusedCarry(NamedTuple):
     state: Any            # TrainState
     sched: PlateauState
@@ -212,6 +347,49 @@ def fused_trainer(
     # set MDL_MAX_DISPATCH_S when the runtime does not.
     max_dispatch_s = float(os.environ.get("MDL_MAX_DISPATCH_S", "0") or 0)
     idm = id_matrix_fn or partial(epoch_id_matrix, batch_size=batch_size)
+    if max_dispatch_s > 0:
+        # Probe a small scan to estimate the epoch's dispatch time; if even
+        # ONE epoch would blow the budget, drive sub-epoch segments instead
+        # of whole-epoch programs (semantics identical; host epoch loop).
+        import time as _time
+
+        ids0 = idm(train_idx, shuffle=True, seed=shuffle_seed_base + 1)
+        S = ids0.shape[0]
+        probe_rows = min(8, S)
+
+        @jax.jit
+        def _probe(state, data, ids_matrix, rng):
+            def body(c, row):
+                st, rng = c
+                rng, sub = jax.random.split(rng)
+                st, loss, cnt = train_body(st, data, row, sub)
+                return (st, rng), loss
+
+            (_, _), losses = jax.lax.scan(
+                body, (state, rng_key), ids_matrix)
+            return losses[-1]
+
+        probe_ids = jnp.asarray(ids0[:probe_rows])
+        float(_probe(state, data, probe_ids, rng_key))  # compile+run
+        t0 = _time.time()
+        float(_probe(state, data, probe_ids, rng_key))
+        t_step = (_time.time() - t0) / probe_rows
+        if t_step * S > max_dispatch_s:
+            seg_rows = max(1, min(S, int(max_dispatch_s
+                                         / max(t_step, 1e-9) / 1.5)))
+            print(f"segmented dispatch: estimated epoch "
+                  f"{t_step * S:.0f}s exceeds MDL_MAX_DISPATCH_S="
+                  f"{max_dispatch_s:.0f}s; running {seg_rows} "
+                  f"steps/dispatch")
+            return _segmented_trainer(
+                train_body=train_body, eval_body=eval_body, state=state,
+                data=data, train_idx=train_idx, val_idx=val_idx,
+                epochs=epochs, verbosity=verbosity, lr=lr,
+                scheduler_kwargs=scheduler_kwargs,
+                scheduler_enabled=scheduler_enabled, rng_key=rng_key,
+                checkpoint_fn=checkpoint_fn, idm=idm, seg_rows=seg_rows,
+                meter=meter, shuffle_seed_base=shuffle_seed_base,
+            )
     val_ids = jnp.asarray(
         idm(val_idx, shuffle=False, seed=None)
         if has_val else np.zeros((1, batch_size), np.int32)

@@ -185,3 +185,38 @@ def test_fused_trainer_max_dispatch_chunk_cap(toy_dataset, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(base.params),
                     jax.tree_util.tree_leaves(capped.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_segmented_trainer_matches_fused(toy_dataset, monkeypatch):
+    """When one epoch exceeds MDL_MAX_DISPATCH_S, the trainer switches to
+    sub-epoch segment dispatches. Same per-step rng sequence and epoch
+    state machine ⇒ identical final train state and best-val params."""
+    import numpy as np
+
+    from matdeeplearn_tpu.training import jobs as J
+
+    mp = {"model": "CGCNN", "dim1": 8, "dim2": 8, "gc_count": 1,
+          "post_fc_count": 1, "batch_size": 4, "epochs": 5, "lr": 0.01,
+          "optimizer": "AdamW", "scheduler": "ReduceLROnPlateau",
+          "print_model": False}
+    idx = np.arange(len(toy_dataset))
+    run = J.setup_run(toy_dataset, mp, "l1_loss", seed=0)
+    best0, last0, _ = J.run_fused_training(
+        run, train_idx=idx[:12], val_idx=idx[12:], epochs=5, verbosity=5,
+        seed=3,
+    )
+    # Budget below any epoch time: forces segment mode with 1 step/dispatch.
+    monkeypatch.setenv("MDL_MAX_DISPATCH_S", "1e-12")
+    J.reset_run(run, 0)
+    best1, last1, _ = J.run_fused_training(
+        run, train_idx=idx[:12], val_idx=idx[12:], epochs=5, verbosity=5,
+        seed=3,
+    )
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(last0.params),
+                    jax.tree_util.tree_leaves(last1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(best0.params),
+                    jax.tree_util.tree_leaves(best1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
