@@ -139,9 +139,11 @@ def setup_run(
     # auto resolves per backend: the fused kernel's wins are TPU
     # measurements; on CPU it would run in (slow) interpret mode, so auto
     # stays XLA there. Explicit kernel="fused"/"pallas" is honored anywhere.
-    # auto × packed stays XLA pending the r4 A/B at the 46k flagship
-    # (KERNELS.md); kernel="fused" with batching="packed" runs the fused
-    # kernel over packed windowed bins.
+    # auto × packed stays XLA by measurement (r4 46k A/B: fused ×0.97 over
+    # packed bins — packing already removes the pad-slot waste the fused
+    # kernel exploited; KERNELS.md r4). kernel="fused" with
+    # batching="packed" still runs the fused kernel over packed windowed
+    # bins for anyone who wants the combination.
     # Fused-kernel matrix (all TPU-measured, KERNELS.md):
     #   CGCNN/SchNet: fused = windowed message+aggregation Pallas kernels
     #     (need the windowed edge layout).
