@@ -156,8 +156,13 @@ class NNConv(nn.Module):
             )
 
             interpret = jax.default_backend() != "tpu"
+            # Kernel MXU precision follows the model's precision mode:
+            # bf16 activations → single-pass bf16 MXU operands inside the
+            # kernel (f32 accumulation), matching what XLA's einsum would
+            # do under `precision: bf16`.
+            mxu_bf16 = x.dtype == jnp.bfloat16
             msg = fused_bilinear_msg(
-                (self.edge_tile, interpret),
+                (self.edge_tile, interpret, mxu_bf16),
                 xj.astype(jnp.float32), a.astype(jnp.float32),
                 kw.astype(jnp.float32), kb.astype(jnp.float32),
             ).astype(x.dtype)

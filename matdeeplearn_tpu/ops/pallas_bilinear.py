@@ -53,10 +53,18 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(xj_ref, a_ref, w1_ref, b1_ref, out_ref, *, te, d, h, k):
-    xj = xj_ref[:]                       # (TE, D)
+def _cast(x, mxu_bf16):
+    # mxu_bf16=True feeds the MXU single-pass bf16 operands (f32
+    # accumulation via preferred_element_type) instead of the multi-pass
+    # f32 product — the kernel-internal half of `precision: bf16`.
+    return x.astype(jnp.bfloat16) if mxu_bf16 else x
+
+
+def _fwd_kernel(xj_ref, a_ref, w1_ref, b1_ref, out_ref, *, te, d, h, k,
+                mxu_bf16=False):
+    xj = _cast(xj_ref[:], mxu_bf16)      # (TE, D)
     a = a_ref[:]                         # (TE, H)
-    acc = _mm(xj, b1_ref[:])             # (TE, K) — bias term
+    acc = _mm(xj, _cast(b1_ref[:], mxu_bf16))  # (TE, K) — bias term
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
 
     def body(i, acc):
@@ -66,14 +74,15 @@ def _fwd_kernel(xj_ref, a_ref, w1_ref, b1_ref, out_ref, *, te, d, h, k):
         # next to the (TE,D)@(D,K) MXU matmul.
         ai = jnp.sum(a * (cols == i).astype(jnp.float32), axis=1,
                      keepdims=True)                          # (TE, 1)
-        return acc + ai * _mm(xj, w)
+        return acc + ai * _mm(xj, _cast(w, mxu_bf16))
 
     acc = jax.lax.fori_loop(0, h, body, acc)
     out_ref[:] = acc
 
 
 def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
-                dxj_ref, da_ref, dw1_ref, db1_ref, *, te, d, h, k):
+                dxj_ref, da_ref, dw1_ref, db1_ref, *, te, d, h, k,
+                mxu_bf16=False):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -81,10 +90,11 @@ def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
         dw1_ref[:] = jnp.zeros_like(dw1_ref)
         db1_ref[:] = jnp.zeros_like(db1_ref)
 
-    xj = xj_ref[:]
+    xj = _cast(xj_ref[:], mxu_bf16)
     g = g_ref[:]                          # (TE, K) cotangent of msg
+    g16 = _cast(g, mxu_bf16)
     db1_ref[:] += jax.lax.dot_general(
-        xj, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        xj, g16, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # d_xj's bias term (g @ b1ᵀ) is added in XLA by the VJP wrapper so b1
@@ -97,20 +107,21 @@ def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
     def body(i, carry):
         dxj, da = carry
         sel = (cols == i).astype(jnp.float32)                # (1, H)
-        w = w1_ref[pl.ds(i, 1), :, :].reshape(d, k)
+        w = _cast(w1_ref[pl.ds(i, 1), :, :].reshape(d, k), mxu_bf16)
         ai = jnp.sum(a * sel, axis=1, keepdims=True)         # (TE, 1)
         t_h = _mm(xj, w)                                     # (TE, K)
         # d_a[:, i] = Σ_k t_h ⊙ g — scattered back via the same mask
         da_col = jnp.sum(t_h * g, axis=1, keepdims=True)     # (TE, 1)
         da = da + da_col * sel
         tmp = ai * g                                         # (TE, K)
+        tmp16 = _cast(tmp, mxu_bf16)
         dw = jax.lax.dot_general(
-            xj, tmp, dimension_numbers=(((0,), (0,)), ((), ())),
+            xj, tmp16, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[None]                                              # (1, D, K)
         dw1_ref[pl.ds(i, 1), :, :] += dw
         dxj = dxj + jax.lax.dot_general(
-            tmp, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            tmp16, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dxj, da
@@ -129,8 +140,16 @@ def _reference_compose(xj, a, w1, b1):
                       preferred_element_type=jnp.float32)
 
 
+def _cfg(cfg):
+    # cfg = (edge_tile, interpret[, mxu_bf16]) — the optional third element
+    # keeps older 2-tuple call sites valid.
+    te, interpret = cfg[0], cfg[1]
+    mxu_bf16 = bool(cfg[2]) if len(cfg) > 2 else False
+    return te, interpret, mxu_bf16
+
+
 def _fwd_impl(cfg, xj, a, w1, b1):
-    te, interpret = cfg
+    te, interpret, mxu_bf16 = _cfg(cfg)
     e, d = xj.shape
     h = a.shape[1]
     k = b1.shape[0] // d
@@ -142,7 +161,7 @@ def _fwd_impl(cfg, xj, a, w1, b1):
         xj = jnp.pad(xj, ((0, ep - e), (0, 0)))
         a = jnp.pad(a, ((0, ep - e), (0, 0)))
     out = pl.pallas_call(
-        partial(_fwd_kernel, te=te, d=d, h=h, k=k),
+        partial(_fwd_kernel, te=te, d=d, h=h, k=k, mxu_bf16=mxu_bf16),
         grid=(ep // te,),
         in_specs=[
             pl.BlockSpec((te, d), lambda i: (i, 0)),
@@ -158,7 +177,7 @@ def _fwd_impl(cfg, xj, a, w1, b1):
 
 
 def _bwd_impl(cfg, xj, a, w1, b1, g):
-    te, interpret = cfg
+    te, interpret, mxu_bf16 = _cfg(cfg)
     e, d = xj.shape
     h = a.shape[1]
     k = b1.shape[0] // d
@@ -168,7 +187,7 @@ def _bwd_impl(cfg, xj, a, w1, b1, g):
         a = jnp.pad(a, ((0, ep - e), (0, 0)))
         g = jnp.pad(g, ((0, ep - e), (0, 0)))
     dxj, da, dw1, db1 = pl.pallas_call(
-        partial(_bwd_kernel, te=te, d=d, h=h, k=k),
+        partial(_bwd_kernel, te=te, d=d, h=h, k=k, mxu_bf16=mxu_bf16),
         grid=(ep // te,),
         in_specs=[
             pl.BlockSpec((te, d), lambda i: (i, 0)),
@@ -200,7 +219,9 @@ def _bwd_impl(cfg, xj, a, w1, b1, g):
 def fused_bilinear_msg(cfg, xj, a, w1, b1):
     """msg[e] = Σ_h a[e,h]·(xj[e] @ W1[h]) + xj[e] @ b1  — NNConv's
     edge-conditioned message with the (E, D, K) weight tensor kept in
-    VMEM. cfg = (edge_tile, interpret)."""
+    VMEM. cfg = (edge_tile, interpret[, mxu_bf16]); mxu_bf16 runs the
+    MXU contractions with bf16 operands + f32 accumulation (the
+    kernel-internal arm of `precision: bf16`)."""
     return _fwd_impl(cfg, xj, a, w1, b1)
 
 

@@ -188,3 +188,18 @@ def test_fused_bilinear_op_parity(toy_dataset):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    rtol=1e-4, atol=1e-5 * sc,
                                    err_msg=f"grad {n}")
+
+    # mxu_bf16 cfg arm: bf16 MXU operands + f32 accumulation — same math
+    # within bf16 truncation error (~1e-2 relative).
+    cfg16 = (128, True, True)
+    out16 = fused_bilinear_msg(cfg16, xj, a, w1, b1)
+    sc = max(float(jnp.abs(ref).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2 * sc)
+    gf16 = jax.grad(lambda *p: jnp.sum(fused_bilinear_msg(cfg16, *p) * cot),
+                    argnums=(0, 1, 2, 3))(xj, a, w1, b1)
+    for n, x_, y_ in zip(("xj", "a", "w1", "b1"), gf16, gr):
+        sc = max(float(jnp.abs(y_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   rtol=5e-2, atol=3e-2 * sc,
+                                   err_msg=f"bf16 grad {n}")
