@@ -140,6 +140,46 @@ def _reference_compose(xj, a, w1, b1):
                       preferred_element_type=jnp.float32)
 
 
+def _fwd_kernel_chunked(xj_ref, at_ref, w1_ref, b1_ref, out_ref,
+                        *, te, d, hp, k, g):
+    """Chunked-contraction forward: G hidden units per MXU matmul.
+
+    The unit-loop kernel above runs H sequential (TE, D) @ (D, K)
+    matmuls; their 100-deep contractions leave the MXU pipeline-fill
+    bound (~17% of peak measured). Here each step contracts G units at
+    once as (TE, G·D) @ (G·D, K) with
+
+        X_c[:, g·D + d] = a[:, cG+g] · xj[:, d]
+
+    built on the MXU too: a lane-expansion one-hot S (a_chunk @ S) times
+    a tiled-identity replication R (xj @ R) — ~10% extra FLOPs for
+    G/8×-fewer, G×-deeper matmuls. Measured ×1.32 fwd at bulk-layer
+    scale (bench_bilinear_v2.py). Constraints from Mosaic: dynamic
+    sublane slice starts/sizes must be 8-aligned, hence g % 8 == 0 and
+    the H→Hp zero-padding; `a` arrives TRANSPOSED (Hp, E) because
+    dynamic lane slices are forbidden.
+    """
+    xj = xj_ref[:]                             # (TE, D)
+    acc = _mm(xj, b1_ref[:])                   # bias term
+    rr = jax.lax.broadcasted_iota(jnp.int32, (d, g * d), 0)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (d, g * d), 1)
+    xj_rep = _mm(xj, (rr == rc % d).astype(jnp.float32))   # (TE, G*D)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, g * d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, g * d), 1)
+    S = (rows == cols // d).astype(jnp.float32)
+
+    def body(c, acc):
+        at_chunk = at_ref[pl.ds(c * g, g), :]              # (G, TE)
+        a_exp = jax.lax.dot_general(
+            at_chunk, S, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (TE, G*D)
+        w_c = w1_ref[pl.ds(c * g * d, g * d), :]           # (G*D, K)
+        return acc + _mm(a_exp * xj_rep, w_c)
+
+    acc = jax.lax.fori_loop(0, hp // g, body, acc)
+    out_ref[:] = acc
+
+
 def _cfg(cfg):
     # cfg = (edge_tile, interpret[, mxu_bf16]) — the optional third element
     # keeps older 2-tuple call sites valid.
@@ -150,6 +190,10 @@ def _cfg(cfg):
 
 def _fwd_impl(cfg, xj, a, w1, b1):
     te, interpret, mxu_bf16 = _cfg(cfg)
+    # cfg[3] (optional) forces the chunked forward on/off; default is
+    # chunked on compiled (TPU) runs — measured ×1.32 over the unit-loop
+    # forward — and unit-loop in interpret mode (bit-parity baseline).
+    chunked = bool(cfg[3]) if len(cfg) > 3 else not interpret
     e, d = xj.shape
     h = a.shape[1]
     k = b1.shape[0] // d
@@ -160,6 +204,27 @@ def _fwd_impl(cfg, xj, a, w1, b1):
     if ep != e:
         xj = jnp.pad(xj, ((0, ep - e), (0, 0)))
         a = jnp.pad(a, ((0, ep - e), (0, 0)))
+    if chunked:
+        g = 8  # 8-aligned sublane chunks; plateau is flat in g (KERNELS.md)
+        hp = _round_up(h, g)
+        w1v = w1.reshape(h, d, k)
+        if hp != h:
+            a = jnp.pad(a, ((0, 0), (0, hp - h)))
+            w1v = jnp.pad(w1v, ((0, hp - h), (0, 0), (0, 0)))
+        out = pl.pallas_call(
+            partial(_fwd_kernel_chunked, te=te, d=d, hp=hp, k=k, g=g),
+            grid=(ep // te,),
+            in_specs=[
+                pl.BlockSpec((te, d), lambda i: (i, 0)),
+                pl.BlockSpec((hp, te), lambda i: (0, i)),
+                pl.BlockSpec((hp * d, k), lambda i: (0, 0)),
+                pl.BlockSpec((d, k), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((te, k), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((ep, k), jnp.float32),
+            interpret=interpret,
+        )(xj, a.T, w1v.reshape(hp * d, k), b1.reshape(d, k))
+        return out[:e]
     out = pl.pallas_call(
         partial(_fwd_kernel, te=te, d=d, h=h, k=k, mxu_bf16=mxu_bf16),
         grid=(ep // te,),

@@ -203,3 +203,12 @@ def test_fused_bilinear_op_parity(toy_dataset):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    rtol=5e-2, atol=3e-2 * sc,
                                    err_msg=f"bf16 grad {n}")
+
+    # chunked-contraction forward (the TPU default, forced here in
+    # interpret mode via cfg[3]): same math incl. the H→Hp zero-pad and
+    # transposed-activation layout; backward is shared, so fwd parity is
+    # the whole contract.
+    cfg_ck = (128, True, False, True)
+    out_ck = fused_bilinear_msg(cfg_ck, xj, a, w1, b1)
+    np.testing.assert_allclose(np.asarray(out_ck), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4 * sc)
