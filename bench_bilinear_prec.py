@@ -64,19 +64,22 @@ def main():
     recs = {}
     for name, cfg in (("f32", (512, interpret)),
                       ("bf16", (512, interpret, True)),
-                      ("te1024", (1024, interpret)),
-                      ("te2048", (2048, interpret)),
-                      ("te4096", (4096, interpret))):
-        fwd = jax.jit(
-            lambda *p, cfg=cfg: _consume(fused_bilinear_msg(cfg, *p)))
-        t_f = timeit(fwd, xj, a, w1, b1)
-        fb = jax.jit(lambda *p, cfg=cfg: _consume(*jax.grad(
-            lambda *q: jnp.sum(fused_bilinear_msg(cfg, *q) * p[4]),
-            argnums=(0, 1, 2, 3))(*p[:4])))
-        t_b = timeit(fb, xj, a, w1, b1, cot)
-        recs[name] = {"fwd_ms": t_f * 1e3, "grad_ms": t_b * 1e3}
-        log(f"kernel {name}: fwd {t_f*1e3:.2f} ms, grad(fwd+bwd) "
-            f"{t_b*1e3:.2f} ms")
+                      ("unitloop", (512, interpret, False, False)),
+                      ("te1024", (1024, interpret))):
+        try:
+            fwd = jax.jit(
+                lambda *p, cfg=cfg: _consume(fused_bilinear_msg(cfg, *p)))
+            t_f = timeit(fwd, xj, a, w1, b1)
+            fb = jax.jit(lambda *p, cfg=cfg: _consume(*jax.grad(
+                lambda *q: jnp.sum(fused_bilinear_msg(cfg, *q) * p[4]),
+                argnums=(0, 1, 2, 3))(*p[:4])))
+            t_b = timeit(fb, xj, a, w1, b1, cot)
+            recs[name] = {"fwd_ms": t_f * 1e3, "grad_ms": t_b * 1e3}
+            log(f"kernel {name}: fwd {t_f*1e3:.2f} ms, grad(fwd+bwd) "
+                f"{t_b*1e3:.2f} ms")
+        except Exception as ex:
+            log(f"kernel {name}: FAILED {type(ex).__name__}")
+            recs[name] = {"error": str(ex)[:160]}
 
     # numerics: bf16 vs f32 kernel output
     o32 = jax.jit(lambda *p: fused_bilinear_msg((512, interpret), *p))(

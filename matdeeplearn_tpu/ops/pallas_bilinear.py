@@ -131,6 +131,93 @@ def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
     da_ref[:] = da
 
 
+def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
+                        dxj_ref, da_ref, dw1_ref, db1_ref,
+                        *, te, d, hp, k, g):
+    """Chunked-contraction backward: G units per MXU step (see
+    _fwd_kernel_chunked). Lane-slice-free by construction — Mosaic
+    forbids dynamic lane slices and compiles misaligned static ones
+    pathologically slowly — so `a` arrives transposed (sublane-sliced),
+    the weights arrive as W1ᵀ rows (Hp·K, D) (sublane-sliced, contracted
+    via dot_general transposes), and da chunks land through a tiny
+    placement matmul instead of lane writes:
+
+        T_c   = xj ·ᵈ W1ᵀ_c            (TE, G·K)   all units' xj@W1[h]
+        da   += ((T_c ⊙ g_rep) @ S2K) @ E_c        per-unit ⟨·, g⟩ rows
+        dW_c  = X_cᵀ @ g               (G·D, K)    X_c as in the forward
+        dxj  += (a_expK ⊙ g_rep) ·ᵈ W1ᵀ_c          (TE, D)
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    xj = xj_ref[:]                              # (TE, D)
+    gg = g_ref[:]                               # (TE, K)
+    db1_ref[:] += jax.lax.dot_general(
+        xj, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # replication / expansion one-hots (constants)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (d, g * d), 0)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (d, g * d), 1)
+    xj_rep = _mm(xj, (rr == rc % d).astype(jnp.float32))    # (TE, G*D)
+    kr = jax.lax.broadcasted_iota(jnp.int32, (k, g * k), 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, (k, g * k), 1)
+    g_rep = _mm(gg, (kr == kc % k).astype(jnp.float32))     # (TE, G*K)
+    sr = jax.lax.broadcasted_iota(jnp.int32, (g, g * d), 0)
+    sc = jax.lax.broadcasted_iota(jnp.int32, (g, g * d), 1)
+    S = (sr == sc // d).astype(jnp.float32)                 # (G, G*D)
+    skr = jax.lax.broadcasted_iota(jnp.int32, (g, g * k), 0)
+    skc = jax.lax.broadcasted_iota(jnp.int32, (g, g * k), 1)
+    SK = (skr == skc // k).astype(jnp.float32)              # (G, G*K)
+    s2r = jax.lax.broadcasted_iota(jnp.int32, (g * k, g), 0)
+    s2c = jax.lax.broadcasted_iota(jnp.int32, (g * k, g), 1)
+    S2K = (s2r // k == s2c).astype(jnp.float32)             # (G*K, G)
+    er = jax.lax.broadcasted_iota(jnp.int32, (g, hp), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (g, hp), 1)
+
+    dxj0 = jnp.zeros((te, d), jnp.float32)
+    da0 = jnp.zeros((te, hp), jnp.float32)
+
+    def body(c, carry):
+        dxj, da = carry
+        at_c = at_ref[pl.ds(c * g, g), :]                   # (G, TE)
+        wt_c = w1t_ref[pl.ds(c * g * k, g * k), :]          # (G*K, D)
+        # T_c: every unit's xj @ W1[h], laid out in K-lane blocks
+        t_c = jax.lax.dot_general(
+            xj, wt_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (TE, G*K)
+        da_c = _mm(t_c * g_rep, S2K)                        # (TE, G)
+        # placement matmul: column cG+g' of da gets da_c[:, g']
+        e_c = (ec - c * g == er).astype(jnp.float32)        # (G, Hp)
+        da = da + _mm(da_c, e_c)
+        # dW: forward's X_c re-expanded, contracted over the tile rows
+        a_expd = jax.lax.dot_general(
+            at_c, S, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (TE, G*D)
+        x_c = a_expd * xj_rep
+        dw_c = jax.lax.dot_general(
+            x_c, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (G*D, K)
+        dw1_ref[pl.ds(c * g * d, g * d), :] += dw_c
+        # dxj: V_c = a-expanded cotangent, contracted against W1ᵀ rows
+        a_expk = jax.lax.dot_general(
+            at_c, SK, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (TE, G*K)
+        dxj = dxj + jax.lax.dot_general(
+            a_expk * g_rep, wt_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (TE, D)
+        return dxj, da
+
+    dxj, da = jax.lax.fori_loop(0, hp // g, body, (dxj0, da0))
+    dxj_ref[:] = dxj
+    da_ref[:] = da
+
+
 def _reference_compose(xj, a, w1, b1):
     """Pure-XLA oracle / interpret+manual fallback: identical math."""
     e, d = xj.shape
@@ -206,21 +293,30 @@ def _fwd_impl(cfg, xj, a, w1, b1):
         a = jnp.pad(a, ((0, ep - e), (0, 0)))
     if chunked:
         g = 8  # 8-aligned sublane chunks; plateau is flat in g (KERNELS.md)
+        # (tf, G·D) intermediates + resident W1 must fit the 16 MB scoped
+        # VMEM budget: tf=2048 OOMs at compile time, 1024 fits (and
+        # measures marginally best).
+        tf = min(te, 1024)
+        ep = _round_up(e, tf)
+        if ep != xj.shape[0]:
+            pad = ep - xj.shape[0]
+            xj = jnp.pad(xj[:e], ((0, pad), (0, 0)))
+            a = jnp.pad(a[:e], ((0, pad), (0, 0)))
         hp = _round_up(h, g)
         w1v = w1.reshape(h, d, k)
         if hp != h:
             a = jnp.pad(a, ((0, 0), (0, hp - h)))
             w1v = jnp.pad(w1v, ((0, hp - h), (0, 0), (0, 0)))
         out = pl.pallas_call(
-            partial(_fwd_kernel_chunked, te=te, d=d, hp=hp, k=k, g=g),
-            grid=(ep // te,),
+            partial(_fwd_kernel_chunked, te=tf, d=d, hp=hp, k=k, g=g),
+            grid=(ep // tf,),
             in_specs=[
-                pl.BlockSpec((te, d), lambda i: (i, 0)),
-                pl.BlockSpec((hp, te), lambda i: (0, i)),
+                pl.BlockSpec((tf, d), lambda i: (i, 0)),
+                pl.BlockSpec((hp, tf), lambda i: (0, i)),
                 pl.BlockSpec((hp * d, k), lambda i: (0, 0)),
                 pl.BlockSpec((d, k), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((te, k), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((tf, k), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((ep, k), jnp.float32),
             interpret=interpret,
         )(xj, a.T, w1v.reshape(hp * d, k), b1.reshape(d, k))
@@ -243,6 +339,7 @@ def _fwd_impl(cfg, xj, a, w1, b1):
 
 def _bwd_impl(cfg, xj, a, w1, b1, g):
     te, interpret, mxu_bf16 = _cfg(cfg)
+    chunked = bool(cfg[3]) if len(cfg) > 3 else not interpret
     e, d = xj.shape
     h = a.shape[1]
     k = b1.shape[0] // d
@@ -251,6 +348,52 @@ def _bwd_impl(cfg, xj, a, w1, b1, g):
         xj = jnp.pad(xj, ((0, ep - e), (0, 0)))
         a = jnp.pad(a, ((0, ep - e), (0, 0)))
         g = jnp.pad(g, ((0, ep - e), (0, 0)))
+    if chunked:
+        gc = 8
+        # (tb, G·K)-shaped loop intermediates × the resident W1ᵀ + dW
+        # blocks must fit the 16 MB scoped-VMEM budget: tb=512 measures
+        # 17.3 MB (compile-time OOM), tb=256 fits.
+        tb = min(te, 256)
+        # re-tile from the caller's te-padding to tb (slice back to the
+        # true e first — round_up(e, te) can exceed round_up(e, tb))
+        ep = _round_up(e, tb)
+        if ep != xj.shape[0]:
+            pad = ep - e
+            xj = jnp.pad(xj[:e], ((0, pad), (0, 0)))
+            a = jnp.pad(a[:e], ((0, pad), (0, 0)))
+            g = jnp.pad(g[:e], ((0, pad), (0, 0)))
+        hp = _round_up(h, gc)
+        w3 = w1.reshape(h, d, k)
+        if hp != h:
+            a = jnp.pad(a, ((0, 0), (0, hp - h)))
+            w3 = jnp.pad(w3, ((0, hp - h), (0, 0), (0, 0)))
+        w1t = w3.transpose(0, 2, 1).reshape(hp * k, d)   # W1ᵀ rows
+        dxj, da, dw1, db1 = pl.pallas_call(
+            partial(_bwd_kernel_chunked, te=tb, d=d, hp=hp, k=k, g=gc),
+            grid=(ep // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0)),
+                pl.BlockSpec((hp, tb), lambda i: (0, i)),
+                pl.BlockSpec((hp * k, d), lambda i: (0, 0)),
+                pl.BlockSpec((tb, k), lambda i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0)),
+                pl.BlockSpec((tb, hp), lambda i: (i, 0)),
+                pl.BlockSpec((hp * d, k), lambda i: (0, 0)),
+                pl.BlockSpec((d, k), lambda i: (0, 0)),
+            ],
+            out_shape=(
+                jax.ShapeDtypeStruct((ep, d), jnp.float32),
+                jax.ShapeDtypeStruct((ep, hp), jnp.float32),
+                jax.ShapeDtypeStruct((hp * d, k), jnp.float32),
+                jax.ShapeDtypeStruct((d, k), jnp.float32),
+            ),
+            interpret=interpret,
+        )(xj, a.T, w1t, g)
+        dxj = dxj[:e] + g[:e] @ b1.reshape(d, k).T
+        dw1 = dw1.reshape(hp, d, k)[:h].reshape(h, d * k)
+        return dxj, da[:e, :h], dw1, db1.reshape(d * k)
     dxj, da, dw1, db1 = pl.pallas_call(
         partial(_bwd_kernel, te=te, d=d, h=h, k=k, mxu_bf16=mxu_bf16),
         grid=(ep // te,),

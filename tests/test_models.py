@@ -212,3 +212,28 @@ def test_fused_bilinear_op_parity(toy_dataset):
     out_ck = fused_bilinear_msg(cfg_ck, xj, a, w1, b1)
     np.testing.assert_allclose(np.asarray(out_ck), np.asarray(ref),
                                rtol=1e-4, atol=1e-4 * sc)
+    gck = jax.grad(lambda *p: jnp.sum(fused_bilinear_msg(cfg_ck, *p) * cot),
+                   argnums=(0, 1, 2, 3))(xj, a, w1, b1)
+    for n, x_, y_ in zip(("xj", "a", "w1", "b1"), gck, gr):
+        sc = max(float(jnp.abs(y_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   rtol=1e-4, atol=1e-4 * sc,
+                                   err_msg=f"chunked grad {n}")
+
+    # regression: the chunked backward re-tiles from te to tb=min(te,256);
+    # when round_up(E, te) > round_up(E, tb) the re-pad must slice back to
+    # E first (production crash at te=512, E=700-class shapes).
+    E2 = 700
+    xj2 = jnp.asarray(rng.standard_normal((E2, D)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((E2, H)), jnp.float32)
+    cot2 = jnp.asarray(rng.standard_normal((E2, K)), jnp.float32)
+    cfg512 = (512, True, False, True)
+    g2 = jax.grad(lambda *p: jnp.sum(fused_bilinear_msg(cfg512, *p) * cot2),
+                  argnums=(0, 1, 2, 3))(xj2, a2, w1, b1)
+    g2r = jax.grad(lambda *p: jnp.sum(_reference_compose(*p) * cot2),
+                   argnums=(0, 1, 2, 3))(xj2, a2, w1, b1)
+    for n, x_, y_ in zip(("xj", "a", "w1", "b1"), g2, g2r):
+        sc = max(float(jnp.abs(y_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   rtol=1e-4, atol=1e-4 * sc,
+                                   err_msg=f"retile grad {n}")
