@@ -133,7 +133,7 @@ def _bwd_kernel(xj_ref, a_ref, w1_ref, g_ref,
 
 def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
                         dxj_ref, da_ref, dw1_ref, db1_ref,
-                        *, te, d, hp, k, g):
+                        *, te, d, hp, k, g, mxu_bf16=False):
     """Chunked-contraction backward: G units per MXU step (see
     _fwd_kernel_chunked). Lane-slice-free by construction — Mosaic
     forbids dynamic lane slices and compiles misaligned static ones
@@ -156,8 +156,11 @@ def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
 
     xj = xj_ref[:]                              # (TE, D)
     gg = g_ref[:]                               # (TE, K)
+    # mxu_bf16 rounds the heavy contractions' operands (placement/one-hot
+    # matmuls stay exact f32); accumulation stays f32.
+    xj16, gg16 = _cast(xj, mxu_bf16), _cast(gg, mxu_bf16)
     db1_ref[:] += jax.lax.dot_general(
-        xj, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+        xj16, gg16, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # replication / expansion one-hots (constants)
@@ -186,9 +189,10 @@ def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
         dxj, da = carry
         at_c = at_ref[pl.ds(c * g, g), :]                   # (G, TE)
         wt_c = w1t_ref[pl.ds(c * g * k, g * k), :]          # (G*K, D)
+        wt_c16 = _cast(wt_c, mxu_bf16)
         # T_c: every unit's xj @ W1[h], laid out in K-lane blocks
         t_c = jax.lax.dot_general(
-            xj, wt_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            xj16, wt_c16, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (TE, G*K)
         da_c = _mm(t_c * g_rep, S2K)                        # (TE, G)
         # placement matmul: column cG+g' of da gets da_c[:, g']
@@ -200,7 +204,8 @@ def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
             preferred_element_type=jnp.float32)             # (TE, G*D)
         x_c = a_expd * xj_rep
         dw_c = jax.lax.dot_general(
-            x_c, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+            _cast(x_c, mxu_bf16), gg16,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (G*D, K)
         dw1_ref[pl.ds(c * g * d, g * d), :] += dw_c
         # dxj: V_c = a-expanded cotangent, contracted against W1ᵀ rows
@@ -208,7 +213,7 @@ def _bwd_kernel_chunked(xj_ref, at_ref, w1t_ref, g_ref,
             at_c, SK, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (TE, G*K)
         dxj = dxj + jax.lax.dot_general(
-            a_expk * g_rep, wt_c,
+            _cast(a_expk * g_rep, mxu_bf16), wt_c16,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (TE, D)
         return dxj, da
@@ -228,7 +233,7 @@ def _reference_compose(xj, a, w1, b1):
 
 
 def _fwd_kernel_chunked(xj_ref, at_ref, w1_ref, b1_ref, out_ref,
-                        *, te, d, hp, k, g):
+                        *, te, d, hp, k, g, mxu_bf16=False):
     """Chunked-contraction forward: G hidden units per MXU matmul.
 
     The unit-loop kernel above runs H sequential (TE, D) @ (D, K)
@@ -261,7 +266,10 @@ def _fwd_kernel_chunked(xj_ref, at_ref, w1_ref, b1_ref, out_ref,
             at_chunk, S, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (TE, G*D)
         w_c = w1_ref[pl.ds(c * g * d, g * d), :]           # (G*D, K)
-        return acc + _mm(a_exp * xj_rep, w_c)
+        # mxu_bf16 rounds only the FLOP-heavy contraction's operands (the
+        # one-hot placement matmuls above stay exact f32); accumulation
+        # stays f32 via preferred_element_type.
+        return acc + _mm(_cast(a_exp * xj_rep, mxu_bf16), _cast(w_c, mxu_bf16))
 
     acc = jax.lax.fori_loop(0, hp // g, body, acc)
     out_ref[:] = acc
@@ -297,9 +305,11 @@ def _fwd_impl(cfg, xj, a, w1, b1):
         # VMEM budget: tf=2048 OOMs at compile time, 1024 fits (and
         # measures marginally best).
         tf = min(te, 1024)
+        # re-tile from the caller's te-padding to tf (slice back to the
+        # true e first — round_up(e, te) can exceed round_up(e, tf))
         ep = _round_up(e, tf)
         if ep != xj.shape[0]:
-            pad = ep - xj.shape[0]
+            pad = ep - e
             xj = jnp.pad(xj[:e], ((0, pad), (0, 0)))
             a = jnp.pad(a[:e], ((0, pad), (0, 0)))
         hp = _round_up(h, g)
@@ -308,7 +318,8 @@ def _fwd_impl(cfg, xj, a, w1, b1):
             a = jnp.pad(a, ((0, 0), (0, hp - h)))
             w1v = jnp.pad(w1v, ((0, hp - h), (0, 0), (0, 0)))
         out = pl.pallas_call(
-            partial(_fwd_kernel_chunked, te=tf, d=d, hp=hp, k=k, g=g),
+            partial(_fwd_kernel_chunked, te=tf, d=d, hp=hp, k=k, g=g,
+                    mxu_bf16=mxu_bf16),
             grid=(ep // tf,),
             in_specs=[
                 pl.BlockSpec((tf, d), lambda i: (i, 0)),
@@ -369,7 +380,8 @@ def _bwd_impl(cfg, xj, a, w1, b1, g):
             w3 = jnp.pad(w3, ((0, hp - h), (0, 0), (0, 0)))
         w1t = w3.transpose(0, 2, 1).reshape(hp * k, d)   # W1ᵀ rows
         dxj, da, dw1, db1 = pl.pallas_call(
-            partial(_bwd_kernel_chunked, te=tb, d=d, hp=hp, k=k, g=gc),
+            partial(_bwd_kernel_chunked, te=tb, d=d, hp=hp, k=k, g=gc,
+                    mxu_bf16=mxu_bf16),
             grid=(ep // tb,),
             in_specs=[
                 pl.BlockSpec((tb, d), lambda i: (i, 0)),

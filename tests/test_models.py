@@ -206,8 +206,8 @@ def test_fused_bilinear_op_parity(toy_dataset):
 
     # chunked-contraction forward (the TPU default, forced here in
     # interpret mode via cfg[3]): same math incl. the H→Hp zero-pad and
-    # transposed-activation layout; backward is shared, so fwd parity is
-    # the whole contract.
+    # transposed-activation layout. cfg[3]=True also selects the distinct
+    # _bwd_kernel_chunked, covered by the gck grad checks below.
     cfg_ck = (128, True, False, True)
     out_ck = fused_bilinear_msg(cfg_ck, xj, a, w1, b1)
     np.testing.assert_allclose(np.asarray(out_ck), np.asarray(ref),
@@ -237,3 +237,20 @@ def test_fused_bilinear_op_parity(toy_dataset):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    rtol=1e-4, atol=1e-4 * sc,
                                    err_msg=f"retile grad {n}")
+
+    # regression: the chunked FORWARD's te→tf=min(te,1024) re-tile must
+    # also pad relative to the true E, not the te-padded row count
+    # (pad = ep - xj.shape[0] went negative for te>2048-class tiles —
+    # jnp.pad raises "index can't contain negative values" — and produced
+    # a wrong row count for 1024<te<2048; ADVICE r4 medium).
+    E3 = 1030
+    xj3 = jnp.asarray(rng.standard_normal((E3, D)), jnp.float32)
+    a3 = jnp.asarray(rng.standard_normal((E3, H)), jnp.float32)
+    ref3 = _reference_compose(xj3, a3, w1, b1)
+    for te_big in (1500, 2500):
+        out3 = fused_bilinear_msg((te_big, True, False, True),
+                                  xj3, a3, w1, b1)
+        sc = max(float(jnp.abs(ref3).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                                   rtol=1e-4, atol=1e-4 * sc,
+                                   err_msg=f"fwd retile te={te_big}")
