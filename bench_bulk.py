@@ -257,6 +257,30 @@ def main():
         elif name == "packed":
             extra = {"kernel": "xla", "batching": "packed"}
             batch = args.batch
+        elif name == "packed-csr":
+            extra = {"kernel": "csr", "batching": "packed"}
+            batch = args.batch
+        elif name == "bf16-packed-csr":
+            extra = {"kernel": "csr", "batching": "packed",
+                     "precision": "bf16", "kernel_precision": "bf16"}
+            batch = args.batch
+        elif name == "gcn-packed-csr":
+            extra = {"model": "GCN", "dim1": 100, "dim2": 150,
+                     "kernel": "csr", "batching": "packed"}
+            batch = args.batch
+        elif name == "mpnn-packed-csr":
+            extra = {"model": "MPNN", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "kernel": "csr", "batching": "packed"}
+            batch = args.batch
+        elif name == "schnet-packed-csr":
+            extra = {"model": "SchNet", "dim3": 150, "cutoff": 8.0,
+                     "kernel": "csr", "batching": "packed"}
+            batch = args.batch
+        elif name == "megnet-packed-csr":
+            extra = {"model": "MEGNet", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "gc_fc_count": 2, "kernel": "csr",
+                     "batching": "packed"}
+            batch = args.batch
         elif name == "packed-fused":
             extra = {"kernel": "fused", "batching": "packed"}
             batch = args.batch
@@ -337,7 +361,12 @@ def main():
 
     # Merge-by-label into the existing BULK.json: the crash-safe protocol is
     # one config per process (axon tunnel instability, BULK.md), so each
-    # invocation must not wipe the other configs' records.
+    # invocation must not wipe the other configs' records. Small-scale
+    # (--n) debug runs only print — config labels collide across scales
+    # and must not replace the 46k headline records.
+    if args.n < 40000:
+        print(json.dumps({"n_structures": args.n, "records": recs}))
+        return
     path = os.path.join(REPO, "BULK.json")
     out = {"n_structures": args.n, "batch": args.batch,
            "epochs_timed": args.epochs,

@@ -107,9 +107,19 @@ class DeviceDataset(struct.PyTreeNode):
     # — random-row gathers are latency-bound on TPU, and assembly measured
     # 38% of the packed bulk epoch before this packing (BULK.md ablation).
     edge_packed: jax.Array | None = None
+    # Per-graph dst-sorted edge order (kernel: csr): graphs occupy
+    # contiguous node ranges in slot order, so per-graph (dst, src)
+    # sorting makes every assembled batch's edge_dst globally
+    # non-decreasing — the layout contract of ops/pallas_csr.py.
+    dst_sorted: bool = struct.field(pytree_node=False, default=False)
+    # (N_tot,) f32 per-node true in-degree — a dataset constant, assembled
+    # into batches by the node gather (a per-assembly E-row count scatter
+    # measured ~1 ms at bin scale; this is free).
+    node_indeg: jax.Array | None = None
 
     @classmethod
-    def from_graph_dataset(cls, ds, extra_key: str | None = None) -> "DeviceDataset":
+    def from_graph_dataset(cls, ds, extra_key: str | None = None,
+                           dst_sorted: bool = False) -> "DeviceDataset":
         y = ds.targets
         if y.ndim == 1:
             y = y[:, None]
@@ -120,13 +130,36 @@ class DeviceDataset(struct.PyTreeNode):
             if extra_key and extra_key in ds.extra_features
             else None
         )
-        packed = np.empty((len(np.asarray(ds.edge_src)), 4), np.int32)
-        packed[:, 0] = np.asarray(ds.edge_src, np.int32)
-        packed[:, 1] = np.asarray(ds.edge_dst, np.int32)
-        packed[:, 2] = np.asarray(ds.edge_weight, np.float32).view(np.int32)
-        packed[:, 3] = np.asarray(ds.edge_dist_norm, np.float32).view(np.int32)
+        esrc = np.asarray(ds.edge_src, np.int32)
+        edst = np.asarray(ds.edge_dst, np.int32)
+        ew = np.asarray(ds.edge_weight, np.float32)
+        ed = np.asarray(ds.edge_dist_norm, np.float32)
+        node_indeg = None
+        if dst_sorted:
+            # One host-side lexsort per run (~1 s at 20M edges): within
+            # each graph order edges by (local dst, local src). Node ids
+            # are graph-local here, so the key needs the graph id major.
+            gid = np.repeat(
+                np.arange(len(ds.node_ptr) - 1, dtype=np.int64),
+                np.diff(ds.edge_ptr),
+            )
+            perm = np.lexsort((esrc, edst, gid))
+            esrc, edst, ew, ed = esrc[perm], edst[perm], ew[perm], ed[perm]
+            # dataset-global per-node in-degree (global dst = local dst +
+            # the graph's node offset)
+            nptr = np.asarray(ds.node_ptr, np.int64)
+            indeg = np.zeros(int(nptr[-1]), np.float32)
+            np.add.at(indeg, edst.astype(np.int64) + nptr[gid[perm]], 1.0)
+            node_indeg = jnp.asarray(indeg)
+        packed = np.empty((len(esrc), 4), np.int32)
+        packed[:, 0] = esrc
+        packed[:, 1] = edst
+        packed[:, 2] = ew.view(np.int32)
+        packed[:, 3] = ed.view(np.int32)
         return cls(
             extra=extra,
+            dst_sorted=dst_sorted,
+            node_indeg=node_indeg,
             edge_packed=jnp.asarray(packed),
             node_x=jnp.asarray(ds.node_x, jnp.float32),
             node_ptr=jnp.asarray(ds.node_ptr, jnp.int32),
@@ -176,6 +209,10 @@ class GraphBatch(struct.PyTreeNode):
     # (ops/pallas_fused.py): gate/core MLPs + edge basis + aggregation in
     # one MXU pass, z/gate/core/messages never hitting HBM
     kernel_fused: bool = struct.field(pytree_node=False, default=False)
+    # kernel: "csr" — edge_dst is non-decreasing over real edges (per-graph
+    # dst-sorted dataset order); aggregations and dst-side gathers run the
+    # CSR Pallas kernels (ops/pallas_csr.py). in_degree is populated.
+    dst_sorted: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def edge_dst_safe(self) -> jax.Array:
@@ -269,7 +306,17 @@ def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -
     ew = jnp.where(edge_valid, ew_r, 0.0)
     ed = jnp.where(edge_valid, ed_r, 0.0)
 
+    in_degree = None
+    if data.dst_sorted and data.node_indeg is not None:
+        # in-degree is a per-node dataset constant: ride the node gather
+        # (a per-assembly count scatter here measured ~1 ms at bin scale).
+        in_degree = jnp.where(
+            node_valid, data.node_indeg[src_index], 0.0
+        )
+
     return GraphBatch(
+        dst_sorted=data.dst_sorted,
+        in_degree=in_degree,
         x=x,
         edge_src=esrc.astype(jnp.int32),
         edge_dst=edst.astype(jnp.int32),

@@ -49,7 +49,9 @@ class MPNN(GNNBase):
         h = out
         conv_cls = nn.remat(NNConv) if self.remat else NNConv
         fused_msg = (
-            str(self.kernel).lower() in ("auto", "fused", "pallas")
+            # "csr" composes: CSR aggregation (ops/pallas_csr.py) and the
+            # bilinear message kernel are independent — both run together.
+            str(self.kernel).lower() in ("auto", "fused", "pallas", "csr")
             and jax.default_backend() == "tpu"
         )
         for i in range(self.gc_count):

@@ -31,7 +31,11 @@ from matdeeplearn_tpu.nn.layers import (
     xavier_uniform,
 )
 from matdeeplearn_tpu.ops import segment
-from matdeeplearn_tpu.ops.aggregate import edge_aggregate, edge_segment_mean
+from matdeeplearn_tpu.ops.aggregate import (
+    edge_aggregate,
+    edge_segment_mean,
+    gather_dst,
+)
 
 
 class _LinearParams(nn.Module):
@@ -104,8 +108,9 @@ class CGConv(nn.Module):
             return x + agg.astype(dt)
 
         z = jnp.concatenate(
-            [x[batch.edge_dst_safe], x[batch.edge_src], edge_attr], axis=-1
-        )  # [x_i, x_j, e] — PyG CGConv concat order
+            [gather_dst(x, batch), x[batch.edge_src], edge_attr], axis=-1
+        )  # [x_i, x_j, e] — PyG CGConv concat order (x_i rides the CSR
+        # sorted-gather kernel when the batch is dst-sorted)
         gate = jax.nn.sigmoid(Linear(self.dim, name="lin_f")(z))
         core = jax.nn.softplus(Linear(self.dim, name="lin_s")(z))
         agg = edge_aggregate(gate * core, batch, reduce="mean")
@@ -354,7 +359,7 @@ class MEGNetBlock(nn.Module):
         node_graph = batch.node_graph
 
         comb_e = jnp.concatenate(
-            [x[edge_src], x[batch.edge_dst_safe], e,
+            [x[edge_src], gather_dst(x, batch), e,
              u[jnp.minimum(edge_graph, num_graphs - 1)]],
             axis=-1,
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from matdeeplearn_tpu.ops import pallas_csr as PC
 from matdeeplearn_tpu.ops import pallas_segment as PS
 from matdeeplearn_tpu.ops import segment
 
@@ -107,6 +108,29 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
             out = out / jnp.maximum(batch.in_degree, 1.0)[:, None]
         return out.astype(mdtype)
 
+    if getattr(batch, "dst_sorted", False) and messages.shape[-1] >= 8:
+        # CSR Pallas path (kernel: csr): edge_dst is non-decreasing by the
+        # dataset's per-graph dst-sort, so the scatter runs as a sequential
+        # windowed one-hot MXU reduce (ops/pallas_csr.py) instead of XLA's
+        # per-row-latency-bound scatter (~27 GB/s, BULK.md r4). Narrow
+        # (D<8) reductions stay XLA — the 128-lane one-hot matmul wastes
+        # more than the scatter costs there.
+        mdtype = messages.dtype
+        m32 = messages.astype(jnp.float32)
+        if weights is not None:
+            m32 = m32 * weights.astype(jnp.float32)[:, None]
+        interpret = jax.default_backend() != "tpu"
+        out = PC.sorted_segment_sum(
+            m32, batch.edge_dst, batch.edge_mask, n,
+            PC.DEFAULT_TE, interpret, not batch.kernel_bf16,
+        )
+        if reduce == "mean":
+            deg = (batch.in_degree if batch.in_degree is not None
+                   else segment.segment_count(
+                       batch.edge_dst, n, mask=batch.edge_mask))
+            out = jnp.where(deg[:, None] > 0, out / jnp.maximum(deg, 1.0)[:, None], 0.0)
+        return out.astype(mdtype)
+
     if weights is not None:
         messages = messages * weights.astype(messages.dtype)[:, None]
     if reduce == "mean":
@@ -116,6 +140,27 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
     return segment.segment_sum(
         messages, batch.edge_dst, num_segments=n, mask=batch.edge_mask
     )
+
+
+def gather_dst(x, batch):
+    """x[edge_dst] for message construction (CGConv's x_i, MEGNet's
+    dst-side features) — the CSR sorted-gather when the batch is
+    dst-sorted (VJP = CSR scatter-add; ops/pallas_csr.py), plain XLA
+    `take` otherwise. Pad edges return zero rows on the CSR path and
+    row-0 features (masked downstream) on the XLA path — every caller
+    multiplies messages by edge_mask before aggregation either way."""
+    ring = _ring()
+    if (getattr(batch, "dst_sorted", False) and x.shape[-1] >= 8
+            and not ring.is_edge_sharded(batch.edge_dst)):
+        xdtype = x.dtype
+        interpret = jax.default_backend() != "tpu"
+        out = PC.sorted_gather(
+            x.astype(jnp.float32), batch.edge_dst, batch.edge_mask,
+            batch.num_nodes, PC.DEFAULT_TE, interpret,
+            not batch.kernel_bf16,
+        )
+        return out.astype(xdtype)
+    return x[batch.edge_dst_safe]
 
 
 def edge_segment_mean(values, segment_ids, num_segments, mask):

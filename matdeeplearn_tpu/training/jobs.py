@@ -159,9 +159,27 @@ def setup_run(
             and jax.default_backend() == "tpu")
     )
     mpnn_fused = (
-        model_name == "MPNN" and kernel in ("auto", "fused")
+        model_name == "MPNN" and kernel in ("auto", "fused", "csr")
         and jax.default_backend() == "tpu"
     )
+    # kernel="csr": per-graph dst-sorted dataset order + the CSR Pallas
+    # segment-reduce/gather (ops/pallas_csr.py) replacing XLA's
+    # latency-bound scatter on every aggregation and dst-side feature
+    # gather. Layout-free (no windowed batching, no extra edge slots), so
+    # it composes with padded AND packed batching, and with MPNN's
+    # bilinear kernel. Streaming assembles batches on the host from the
+    # reference edge order, so csr is unavailable there.
+    use_csr = (
+        kernel == "csr" and not is_stream
+        and model_name not in ("SM", "SOAP")
+    )
+    if kernel == "csr" and not use_csr:
+        why = ("descriptor models have no edge aggregation"
+               if model_name in ("SM", "SOAP")
+               else "streaming datasets assemble from the reference edge "
+                    "order")
+        print(f"kernel=csr requested but unavailable ({why}); "
+              "using the XLA scatter path")
     use_windowed = eligible and (
         kernel == "pallas"
         or fused_mode
@@ -257,7 +275,7 @@ def setup_run(
             spec = BatchSpec.for_dataset(
                 dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
             )
-        data = DeviceDataset.from_graph_dataset(dataset)
+        data = DeviceDataset.from_graph_dataset(dataset, dst_sorted=use_csr)
         assemble_fn = None
     lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
     tx = build_optimizer(
@@ -277,7 +295,9 @@ def setup_run(
         "resolved: model={} kernel={} batching={} mesh=dp{}xep{} stream={} "
         "spec=(B={},N={},E={})".format(
             model_name,
-            "fused" if (fused_mode or mpnn_fused)
+            "csr+fused" if (use_csr and mpnn_fused)
+            else "csr" if use_csr
+            else "fused" if (fused_mode or mpnn_fused)
             else "pallas" if use_windowed else "xla",
             "packed" if use_packed else "padded",
             dp, ep, "y" if is_stream else "n",
@@ -423,7 +443,9 @@ def setup_run(
         train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec, assemble_fn)
         eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
-        kernel_mode=("fused" if (fused_mode or mpnn_fused)
+        kernel_mode=("csr+fused" if (use_csr and mpnn_fused)
+                     else "csr" if use_csr
+                     else "fused" if (fused_mode or mpnn_fused)
                      else "pallas" if use_windowed else "xla"),
         stream_packed=is_stream and use_packed,
         dp=dp,
@@ -644,7 +666,7 @@ def train_regular(
     attach_analytic_flops(
         meter, run.model_name, run.model_config, run.spec,
         len(train_idx), len(val_idx), batch_size,
-        fused_kernel=run.kernel_mode == "fused",
+        fused_kernel=run.kernel_mode in ("fused", "csr+fused"),
         steps_per_epoch=(run.id_matrix_fn(train_idx, True, seed).shape[0]
                          if run.id_matrix_fn is not None else None),
         replicas=int(mesh.shape["dp"]) if mesh is not None else 1,
