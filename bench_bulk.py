@@ -341,6 +341,12 @@ def main():
             extra = {"kernel": "xla", "batching": "packed"}
             batch = args.batch
             sdir = os.path.join(CACHE, f"shards_{args.n}")
+        elif name == "stream-packed-nowire":
+            # wire-format ablation arm: full f32/i32 H2D payload
+            extra = {"kernel": "xla", "batching": "packed",
+                     "stream_wire": "False"}
+            batch = args.batch
+            sdir = os.path.join(CACHE, f"shards_{args.n}")
         label = "/".join(filter(None, [
             "streaming" if sdir else "in-memory",
             extra.get("model", "CGCNN"),

@@ -61,6 +61,7 @@ class Run:
     id_matrix_fn: Any = None  # (indices, shuffle, seed) -> id matrix; None = padded
     kernel_mode: str = "xla"  # resolved kernel: fused | pallas | xla
     stream_packed: bool = False  # streaming runs pack bins on the host
+    stream_wire: bool = True  # compact f16/u16 H2D wire format (streaming)
     dp: int = 1  # dp replicas (1 without a mesh)
 
 
@@ -443,6 +444,8 @@ def setup_run(
         train_epoch_fn = T.make_train_epoch_fn(model, tx, loss, spec, assemble_fn)
         eval_epoch_fn = T.make_eval_epoch_fn(model, loss, spec, assemble_fn)
     return Run(
+        stream_wire=(str(model_parameters.get("stream_wire", "True"))
+                     != "False"),
         kernel_mode=("csr+fused" if (use_csr and mpnn_fused)
                      else "csr" if use_csr
                      else "fused" if (fused_mode or mpnn_fused)
@@ -519,6 +522,7 @@ def run_fused_training(
             meter=meter,
             packed=run.stream_packed,
             dp=run.dp,
+            wire=run.stream_wire,
         )
         return best, last, sched
 
@@ -606,6 +610,7 @@ def _final_outputs(run: Run, dataset, idx, batch_size):
         loss, preds, targs = stream_evaluate(
             run.eval_step, run.streaming, run.spec, run.state, idx,
             batch_size, out=True, packed=run.stream_packed, dp=run.dp,
+            wire=run.stream_wire,
         )
     else:
         loss, preds, targs = T.evaluate_scan(

@@ -68,11 +68,18 @@ def _prefetch_batches(id_rows, assemble_fn, depth: int = 2):
 
 
 def make_batch_train_step(model, tx, loss_name: str):
-    """Jitted step over a GraphBatch input (no dataset residency)."""
+    """Jitted step over a GraphBatch (or compact WireBatch) input — a
+    WireBatch expands on device inside the jit, so the f16/u16 H2D
+    payload inflates for free (data/streaming.py:expand_wire)."""
+    from matdeeplearn_tpu.data.streaming import WireBatch, expand_wire
+
     loss_fn = T.get_loss(loss_name)
 
     @jax.jit
     def step(state: T.TrainState, batch, rng):
+        if isinstance(batch, WireBatch):
+            batch = expand_wire(batch)
+
         def compute(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -98,10 +105,14 @@ def make_batch_train_step(model, tx, loss_name: str):
 
 
 def make_batch_eval_step(model, loss_name: str):
+    from matdeeplearn_tpu.data.streaming import WireBatch, expand_wire
+
     loss_fn = T.get_loss(loss_name)
 
     @jax.jit
     def step(state: T.TrainState, batch):
+        if isinstance(batch, WireBatch):
+            batch = expand_wire(batch)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, training=False,
@@ -157,14 +168,20 @@ def _train_id_batches(sds, indices, batch_size, seed, spec=None,
     return _ordered_batches(order, batch_size)
 
 
+def _assembler(sds, spec, wire: bool):
+    if wire and hasattr(sds, "assemble_wire"):
+        return lambda i: sds.assemble_wire(i, spec)
+    return lambda i: sds.assemble(i, spec)
+
+
 def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
                        rng_key, shuffle_seed, packed: bool = False,
-                       dp: int = 1):
+                       dp: int = 1, wire: bool = True):
     loss_sum, count_sum = 0.0, 0.0
     pending = []  # device scalars; resolved once at epoch end
     rows = _train_id_batches(sds, indices, batch_size, shuffle_seed,
                              spec=spec, packed=packed, dp=dp)
-    for ids, batch in _prefetch_batches(rows, lambda i: sds.assemble(i, spec)):
+    for ids, batch in _prefetch_batches(rows, _assembler(sds, spec, wire)):
         rng_key, sub = jax.random.split(rng_key)
         state, loss, count = train_step(state, batch, sub)
         pending.append((loss, count))
@@ -176,7 +193,8 @@ def stream_train_epoch(train_step, sds, spec, state, indices, batch_size,
 
 
 def stream_evaluate(eval_step, sds, spec, state, indices, batch_size,
-                    out: bool = False, packed: bool = False, dp: int = 1):
+                    out: bool = False, packed: bool = False, dp: int = 1,
+                    wire: bool = True):
     loss_sum, count_sum = 0.0, 0.0
     preds = []
     # Assemble in SORTED id order: shards are contiguous id ranges, so a
@@ -192,7 +210,7 @@ def stream_evaluate(eval_step, sds, spec, state, indices, batch_size,
     else:
         rows = _epoch_ids(eval_order, batch_size, shuffle=False, seed=None)
     fids = []
-    for ids, batch in _prefetch_batches(rows, lambda i: sds.assemble(i, spec)):
+    for ids, batch in _prefetch_batches(rows, _assembler(sds, spec, wire)):
         loss, count, pred = eval_step(state, batch)
         c = float(count)
         loss_sum += float(loss) * c
@@ -235,6 +253,7 @@ def stream_trainer(
     meter=None,
     packed: bool = False,
     dp: int = 1,
+    wire: bool = True,
 ):
     """Returns (best_state, last_state, scheduler). checkpoint_fn(best_state,
     best_val, scheduler) is called on every best-val improvement. With a
@@ -248,10 +267,11 @@ def stream_trainer(
         state, train_err, rng_key, n_steps = stream_train_epoch(
             train_step, sds, spec, state, train_idx, batch_size,
             rng_key, shuffle_seed_base + epoch, packed=packed, dp=dp,
+            wire=wire,
         )
         val_err = (
             stream_evaluate(eval_step, sds, spec, state, val_idx, batch_size,
-                            packed=packed, dp=dp)
+                            packed=packed, dp=dp, wire=wire)
             if has_val else float("nan")
         )
         if meter is not None:
@@ -264,7 +284,8 @@ def stream_trainer(
                 try:
                     ids = next(_epoch_ids(np.asarray(train_idx), batch_size,
                                           False, None))
-                    cost = xla_cost(train_step, state, sds.assemble(ids, spec),
+                    cost = xla_cost(train_step, state,
+                                    _assembler(sds, spec, wire)(ids),
                                     jax.random.PRNGKey(0))
                     if cost and cost["flops"] > 0:
                         meter.flops_per_epoch = cost["flops"] * n_steps

@@ -257,3 +257,74 @@ def test_streaming_packed_eval_matches_padded(toy_dataset, tmp_path):
     )
     np.testing.assert_allclose(t_pad, t_pk, atol=0)
     np.testing.assert_allclose(p_pad, p_pk, atol=2e-5)
+
+
+def test_wire_format_roundtrip(toy_dataset, sharded):
+    """assemble_wire → expand_wire reproduces assemble: ints/masks exact,
+    floats within f16 rounding (the compact H2D wire format, r5)."""
+    import jax.numpy as jnp
+
+    from matdeeplearn_tpu.data.streaming import expand_wire
+
+    spec = BatchSpec.for_dataset(
+        toy_dataset.node_counts(), toy_dataset.edge_counts(), 6
+    )
+    for ids in ([3, 9, 0, 11, 6, 1], [2, 5, -1, -1, -1, -1]):
+        ids = np.asarray(ids, np.int32)
+        ref = sharded.assemble(ids, spec)
+        w = sharded.assemble_wire(ids, spec)
+        # wire payload is genuinely narrow
+        assert w.x.dtype == jnp.float16
+        assert w.edge_src.dtype in (jnp.uint16, jnp.int32)
+        got = expand_wire(w)
+        exact = ("edge_src", "edge_dst", "node_graph", "node_mask",
+                 "edge_mask", "graph_mask", "y", "u", "n_node")
+        for name in exact:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+                err_msg=name)
+        for name in ("x", "edge_weight", "edge_dist_norm"):
+            r = np.asarray(getattr(ref, name))
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)), r,
+                rtol=1e-3, atol=1e-3 * max(1.0, np.abs(r).max()),
+                err_msg=name)
+
+
+def test_wire_training_matches_f32_wire_off(toy_dataset, tmp_path, sharded):
+    """stream_wire on/off train the same model class to similar errors and
+    the wire path runs end-to-end through the stream trainer."""
+    import jax
+
+    from matdeeplearn_tpu.training import jobs as J
+    from matdeeplearn_tpu.training.stream import (
+        make_batch_eval_step,
+        make_batch_train_step,
+        stream_trainer,
+    )
+    from matdeeplearn_tpu.models import build_model
+    from matdeeplearn_tpu.training import train as T
+    from matdeeplearn_tpu.training.optimizers import build_optimizer
+    from matdeeplearn_tpu.training.scheduler import build_scheduler
+
+    spec = BatchSpec.for_dataset(
+        toy_dataset.node_counts(), toy_dataset.edge_counts(), 6
+    )
+    model = build_model("CGCNN", toy_dataset, {"dim1": 8, "dim2": 8,
+                                               "gc_count": 1})
+    tx = build_optimizer("AdamW", 5e-3, {})
+    sample = sharded.assemble(np.arange(6), spec)
+    errs = {}
+    for wire in (False, True):
+        state = T.init_state(model, tx, sample, 0)
+        sched = build_scheduler("ReduceLROnPlateau", 5e-3, {})
+        best, last, _ = stream_trainer(
+            train_step=make_batch_train_step(model, tx, "l1_loss"),
+            eval_step=make_batch_eval_step(model, "l1_loss"),
+            sds=sharded, spec=spec, state=state, scheduler=sched,
+            train_idx=np.arange(12), val_idx=np.arange(12, 16),
+            batch_size=6, epochs=2, verbosity=0,
+            rng_key=jax.random.PRNGKey(0), wire=wire,
+        )
+        errs[wire] = True
+    assert errs[False] and errs[True]
