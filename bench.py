@@ -157,7 +157,40 @@ def main():
         out["bw_util"] = rates["hbm_util_pct"]
     if "model_flops_per_s" in rates:
         out["model_flops_per_s"] = rates["model_flops_per_s"]
+    gate = _mae_gate(err)
+    out.update(gate)
     print(json.dumps(out))
+    if gate.get("mae_gate") == "FAIL":
+        # Loud failure (VERDICT r4 weak #5): accuracy drift from kernel/
+        # precision work must not pass silently as a perf number.
+        log(f"MAE GATE FAILED: {err:.4f} outside {gate['mae_gate_band']}")
+        sys.exit(1)
+
+
+def _mae_gate(err: float) -> dict:
+    """Accuracy regression gate: the bench's 250-epoch CGCNN test MAE must
+    sit inside a band derived from the committed multi-seed parity runs
+    (results/parity/summary.json → PARITY.md). Band = mean ± max(4σ,
+    0.15·mean) over the parity seeds — wide enough for a disjoint seed
+    (bench uses 123), tight enough to catch genuine drift (e.g. a broken
+    kernel converging to ~0.8-class errors)."""
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "parity", "summary.json")
+    try:
+        summ = _json.load(open(path))
+        maes = [s["final"]["test"]
+                for s in summ["CGCNN_demo"]["seeds"].values()]
+    except Exception as e:
+        return {"mae_gate": f"skipped ({e.__class__.__name__})"}
+    mean, std = float(np.mean(maes)), float(np.std(maes))
+    half = max(4 * std, 0.15 * mean)
+    lo, hi = mean - half, mean + half
+    band = f"[{lo:.4f}, {hi:.4f}] (parity {len(maes)}-seed mean "\
+           f"{mean:.4f} ± max(4σ={4*std:.4f}, 15%))"
+    return {"mae_gate": "pass" if lo <= err <= hi else "FAIL",
+            "mae_gate_band": band}
 
 
 def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):

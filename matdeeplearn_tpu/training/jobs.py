@@ -65,6 +65,102 @@ class Run:
     dp: int = 1  # dp replicas (1 without a mesh)
 
 
+@dataclass
+class KernelPlan:
+    """Resolved kernel arms for one Run (see _resolve_kernel)."""
+
+    use_windowed: bool = False  # graph-aligned windowed edge layout
+    fused_mode: bool = False    # fused CGConv / cfconv windowed kernels
+    mpnn_fused: bool = False    # NNConv bilinear VMEM kernel (model-internal)
+    use_csr: bool = False       # dst-sorted layout + CSR segment kernels
+    name: str = "xla"           # resolved display name
+
+
+def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
+                    is_stream: bool, ep: int) -> KernelPlan:
+    """The kernel/batching resolution matrix, in one place.
+
+    Accepted `kernel` values and what they run (all verdicts TPU-measured,
+    KERNELS.md):
+
+      auto    — the measured winner per model/batching: CGCNN×padded →
+                fused windowed CGConv (×1.04-1.4, grows with scale);
+                packed CGCNN/GCN → csr (×1.11 / ×1.59 at 46k);
+                MPNN → bilinear VMEM kernel (×3.4); XLA otherwise.
+                Resolves per backend — on CPU the Pallas arms would run
+                in (slow) interpret mode, so auto stays XLA there.
+      xla     — masked XLA segment ops everywhere (the r1 baseline).
+      csr     — per-graph dst-sorted dataset order + the CSR Pallas
+                segment-reduce/gather (ops/pallas_csr.py) on every
+                aggregation and dst-side feature gather. Layout-free (no
+                windowed batching, zero extra edge slots), composes with
+                padded AND packed batching and with MPNN's bilinear
+                kernel (csr+fused). Unavailable for streaming (host
+                assembly uses the reference edge order).
+      fused   — CGCNN/SchNet: windowed fused message-MLP+aggregation
+                kernels (ops/pallas_fused*.py; SchNet's arm measured
+                ×0.82 — an honest negative kept as an explicit opt-in);
+                MPNN: the bilinear kernel; others: windowed aggregation
+                with a loud note.
+      pallas  — the r2 windowed aggregation-only kernel (op-level winner,
+                e2e loser ×0.84/×0.69; kept as documentation-by-code with
+                kernel_tw/kernel_te/kernel_precision tuning knobs).
+
+    Windowed arms need ep == 1 (ep shards the edge dim, incompatible with
+    the graph-aligned layout) and an in-memory dataset; csr needs an
+    in-memory dataset. Explicit requests that cannot be honored fall back
+    LOUDLY — a user benchmarking a kernel must not silently get XLA
+    numbers.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
+    if kernel in ("pallas", "fused") and not eligible:
+        why = ("descriptor models have no edge aggregation"
+               if model_name in ("SM", "SOAP")
+               else "streaming datasets have no windowed layout cache"
+               if is_stream
+               else f"ep={ep} shards the edge dim, incompatible with the "
+                    "windowed layout")
+        print(f"kernel={kernel} requested but unavailable ({why}); "
+              "using the XLA scatter path")
+    fused_mode = eligible and model_name in ("CGCNN", "SchNet") and (
+        kernel == "fused"
+        or (kernel == "auto" and model_name == "CGCNN"
+            and batching_req != "packed" and on_tpu)
+    )
+    mpnn_fused = (model_name == "MPNN" and on_tpu
+                  and kernel in ("auto", "fused", "csr"))
+    use_csr = (
+        not is_stream and model_name not in ("SM", "SOAP")
+        and (kernel == "csr"
+             or (kernel == "auto" and on_tpu and batching_req == "packed"
+                 and model_name in ("CGCNN", "GCN")))
+    )
+    if kernel == "csr" and not use_csr:
+        why = ("descriptor models have no edge aggregation"
+               if model_name in ("SM", "SOAP")
+               else "streaming datasets assemble from the reference edge "
+                    "order")
+        print(f"kernel=csr requested but unavailable ({why}); "
+              "using the XLA scatter path")
+    use_windowed = eligible and (
+        kernel == "pallas"
+        or fused_mode
+        or (kernel == "fused"
+            and model_name not in ("CGCNN", "SchNet", "MPNN"))
+    )
+    if (kernel == "fused" and eligible
+            and model_name not in ("CGCNN", "SchNet", "MPNN")):
+        print("kernel=fused applies to CGCNN, SchNet and MPNN; other "
+              "models run the windowed aggregation kernel "
+              "(kernel=pallas behavior)")
+    name = ("csr+fused" if (use_csr and mpnn_fused)
+            else "csr" if use_csr
+            else "fused" if (fused_mode or mpnn_fused)
+            else "pallas" if use_windowed else "xla")
+    return KernelPlan(use_windowed, fused_mode, mpnn_fused, use_csr, name)
+
+
 def setup_run(
     dataset: D.GraphDataset,
     model_parameters: dict,
@@ -98,100 +194,16 @@ def setup_run(
         mp_build = {**model_parameters, "ep_axis": "ep"}
     model = build_model(model_name, dataset, mp_build)
 
-    # Aggregation kernel selection: "pallas" forces the windowed MXU
-    # segment-sum, "xla"/"auto" take the XLA scatter path (see below).
     from matdeeplearn_tpu.data.streaming import StreamingGraphDataset
 
     is_stream = isinstance(dataset, StreamingGraphDataset)
     id_matrix_fn = None
     kernel = str(model_parameters.get("kernel", "auto")).lower()
-    # Windowed Pallas aggregation: legal single-chip and under a dp-only
-    # mesh (the shard_map body runs one plain per-replica program per
-    # device, so pallas_call needs no vmap/GSPMD lowering). ep>1 shards
-    # the edge dim, which conflicts with the kernel's manual layout.
-    eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
-    if kernel == "pallas" and not eligible:
-        # Loud fallback (a user benchmarking the kernel must not silently
-        # get XLA numbers): say exactly why the windowed path is off.
-        why = ("descriptor models have no edge aggregation"
-               if model_name in ("SM", "SOAP")
-               else "streaming datasets have no windowed layout cache"
-               if is_stream
-               else f"ep={ep} shards the edge dim, incompatible with the "
-                    "windowed layout")
-        print(f"kernel=pallas requested but unavailable ({why}); "
-              "using the XLA scatter path")
-    # Measured verdicts (KERNELS.md):
-    #   r2 — the plain windowed aggregation kernel beats XLA's scatter in
-    #   isolation (x1.6-2.8 at 262k-1M edges on v5e) but LOSES end-to-end
-    #   (x0.84/x0.69): pad slots run through every XLA-level conv MLP and
-    #   the opaque pallas_call blocks cross-op scheduling.
-    #   r3 — kernel="fused" moves CGConv's message MLPs + edge basis +
-    #   aggregation INTO one Pallas kernel (ops/pallas_fused.py): z/gate/
-    #   core/messages never exist in HBM and pad slots never reach an XLA
-    #   MLP. Measured end-to-end on v5e (idle host): parity at test_data
-    #   scale (~9k edges/batch), x1.04 small-graph bulk (~178k), x1.15
-    #   large-structure (~214k, tw=te=512), x1.2-1.4 at the 46k corpus —
-    #   grows with scale, never inverts — so "auto" resolves to the fused
-    #   kernel for CGCNN (padded batching), XLA otherwise.
-    #   "pallas" keeps the r2 aggregation-only kernel as an opt-in.
     batching_req = str(model_parameters.get("batching", "padded")).lower()
     use_packed = batching_req == "packed"
-    # auto resolves per backend: the fused kernel's wins are TPU
-    # measurements; on CPU it would run in (slow) interpret mode, so auto
-    # stays XLA there. Explicit kernel="fused"/"pallas" is honored anywhere.
-    # auto × packed stays XLA by measurement (r4 46k A/B: fused ×0.97 over
-    # packed bins — packing already removes the pad-slot waste the fused
-    # kernel exploited; KERNELS.md r4). kernel="fused" with
-    # batching="packed" still runs the fused kernel over packed windowed
-    # bins for anyone who wants the combination.
-    # Fused-kernel matrix (all TPU-measured, KERNELS.md):
-    #   CGCNN/SchNet: fused = windowed message+aggregation Pallas kernels
-    #     (need the windowed edge layout).
-    #   MPNN: fused = the layout-independent bilinear-message VMEM kernel
-    #     (ops/pallas_bilinear.py) resolved INSIDE the model via its
-    #     `kernel` field — no windowed batching here, aggregation stays XLA.
-    #   GCN/MEGNet: kernel=fused falls back to the windowed aggregation
-    #     kernel (kernel=pallas behavior) with a loud note.
-    fused_mode = eligible and model_name in ("CGCNN", "SchNet") and (
-        kernel == "fused"
-        or (kernel == "auto" and model_name == "CGCNN"
-            and batching_req != "packed"
-            and jax.default_backend() == "tpu")
-    )
-    mpnn_fused = (
-        model_name == "MPNN" and kernel in ("auto", "fused", "csr")
-        and jax.default_backend() == "tpu"
-    )
-    # kernel="csr": per-graph dst-sorted dataset order + the CSR Pallas
-    # segment-reduce/gather (ops/pallas_csr.py) replacing XLA's
-    # latency-bound scatter on every aggregation and dst-side feature
-    # gather. Layout-free (no windowed batching, no extra edge slots), so
-    # it composes with padded AND packed batching, and with MPNN's
-    # bilinear kernel. Streaming assembles batches on the host from the
-    # reference edge order, so csr is unavailable there.
-    use_csr = (
-        kernel == "csr" and not is_stream
-        and model_name not in ("SM", "SOAP")
-    )
-    if kernel == "csr" and not use_csr:
-        why = ("descriptor models have no edge aggregation"
-               if model_name in ("SM", "SOAP")
-               else "streaming datasets assemble from the reference edge "
-                    "order")
-        print(f"kernel=csr requested but unavailable ({why}); "
-              "using the XLA scatter path")
-    use_windowed = eligible and (
-        kernel == "pallas"
-        or fused_mode
-        or (kernel == "fused"
-            and model_name not in ("CGCNN", "SchNet", "MPNN"))
-    )
-    if (kernel == "fused" and eligible
-            and model_name not in ("CGCNN", "SchNet", "MPNN")):
-        print("kernel=fused applies to CGCNN, SchNet and MPNN; other "
-              "models run the windowed aggregation kernel "
-              "(kernel=pallas behavior)")
+    plan = _resolve_kernel(model_name, kernel, batching_req, is_stream, ep)
+    fused_mode, mpnn_fused = plan.fused_mode, plan.mpnn_fused
+    use_csr, use_windowed = plan.use_csr, plan.use_windowed
 
     if use_windowed:
         from matdeeplearn_tpu.data.batching import (
@@ -296,10 +308,7 @@ def setup_run(
         "resolved: model={} kernel={} batching={} mesh=dp{}xep{} stream={} "
         "spec=(B={},N={},E={})".format(
             model_name,
-            "csr+fused" if (use_csr and mpnn_fused)
-            else "csr" if use_csr
-            else "fused" if (fused_mode or mpnn_fused)
-            else "pallas" if use_windowed else "xla",
+            plan.name,
             "packed" if use_packed else "padded",
             dp, ep, "y" if is_stream else "n",
             spec.num_graphs, spec.num_nodes, spec.num_edges,
@@ -446,10 +455,7 @@ def setup_run(
     return Run(
         stream_wire=(str(model_parameters.get("stream_wire", "True"))
                      != "False"),
-        kernel_mode=("csr+fused" if (use_csr and mpnn_fused)
-                     else "csr" if use_csr
-                     else "fused" if (fused_mode or mpnn_fused)
-                     else "pallas" if use_windowed else "xla"),
+        kernel_mode=plan.name,
         stream_packed=is_stream and use_packed,
         dp=dp,
         reset_state_fn=reset_state_fn,

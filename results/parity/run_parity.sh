@@ -9,10 +9,13 @@
 set -u
 cd "$(dirname "$0")"
 REPO=/root/repo
-SEEDS="42 43 44"
+SEEDS="42 43 44 45 46"
 for M in CGCNN_demo MPNN_demo SchNet_demo MEGNet_demo GCN_demo; do
   for S in $SEEDS; do
     d="$M/seed$S"; mkdir -p "$d"; cd "$d"
+    if grep -q "Test Error" run.log 2>/dev/null; then
+      echo "=== $M seed $S cached"; cd ../..; continue
+    fi
     echo "=== $M seed $S start $(date)"
     timeout 3000 python $REPO/main.py --config_path=$REPO/config.yml \
       --data_path=$REPO/data/test_data --run_mode=Training --model=$M \
@@ -26,6 +29,9 @@ done
 for M in SM_demo SOAP_demo; do
   for S in $SEEDS; do
     d="$M/seed$S"; mkdir -p "$d"; cd "$d"
+    if grep -q "Test Error" run.log 2>/dev/null; then
+      echo "=== $M seed $S cached"; cd ../..; continue
+    fi
     echo "=== $M seed $S start $(date)"
     python - <<PYEOF
 import yaml
