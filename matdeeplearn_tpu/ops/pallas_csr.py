@@ -130,7 +130,11 @@ def _csr_sum_kernel(bases_ref, dstT_ref, msg_ref, out_ref, *, te, w, hilo,
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, te), 0)
     dn = (((1,), (0,)), ((), ()))
     for s in range(nsub):  # static unroll — all slices compile-time
-        base = bases_ref[t * nsub + s]
+        # bases ship pre-divided by 8: the *8 makes the dynamic sublane
+        # slice start PROVABLY 8-aligned for Mosaic (plain prefetched
+        # values fail "cannot statically prove index is a multiple of 8"
+        # once the lane dim spans >1 tile, e.g. D=150 SchNet filters).
+        base = bases_ref[t * nsub + s] * 8
         localT = dstT_ref[:, s * te:(s + 1) * te] - base     # (1, TE)
         onehot_t = (localT == rows).astype(jnp.float32)      # (W, TE);
         # out-of-window edges (pads, foreign chunks) match no row
@@ -145,7 +149,7 @@ def _csr_gather_kernel(bases_ref, dst_ref, g_ref, out_ref, *, te, w, hilo,
     cols = jax.lax.broadcasted_iota(jnp.int32, (te, w), 1)
     dn = (((1,), (0,)), ((), ()))
     for s in range(nsub):
-        base = bases_ref[t * nsub + s]
+        base = bases_ref[t * nsub + s] * 8   # see sum kernel: provable align
         local = dst_ref[s * te:(s + 1) * te, :] - base       # (TE, 1)
         onehot = (local == cols).astype(jnp.float32)         # (TE, W)
         window = g_ref[pl.ds(base, w), :]                    # (W, D) resident
@@ -195,7 +199,7 @@ def _csr_sum_impl(messages, dst_p, bases, ep, t, w, n_res, te, interpret,
         out_shape=_out_struct((n_res, d), messages, dst_p, bases),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bases, dst_p[None, :], messages)
+    )(bases // 8, dst_p[None, :], messages)
 
 
 def _csr_gather_impl(g, dst_p, bases, ep, t, w, n_res, te, interpret, hilo,
@@ -219,7 +223,7 @@ def _csr_gather_impl(g, dst_p, bases, ep, t, w, n_res, te, interpret, hilo,
         out_shape=_out_struct((ep, d), g, dst_p, bases),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bases, dst_p[:, None], g)
+    )(bases // 8, dst_p[:, None], g)
 
 
 # ------------------------------------------------------- public, with VJP

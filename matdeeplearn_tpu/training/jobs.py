@@ -85,10 +85,12 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
 
       auto    — the measured winner per model/batching: CGCNN×padded →
                 fused windowed CGConv (×1.04-1.4, grows with scale);
-                packed CGCNN/GCN → csr (×1.11 / ×1.59 at 46k);
-                MPNN → bilinear VMEM kernel (×3.4); XLA otherwise.
-                Resolves per backend — on CPU the Pallas arms would run
-                in (slow) interpret mode, so auto stays XLA there.
+                every packed GNN → csr (46k: CGCNN ×1.11, GCN ×1.59,
+                MEGNet ×1.64, SchNet ×1.41, MPNN csr+fused ×1.13);
+                MPNN otherwise → bilinear VMEM kernel (×3.4); XLA
+                otherwise. Resolves per backend — on CPU the Pallas arms
+                would run in (slow) interpret mode, so auto stays XLA
+                there.
       xla     — masked XLA segment ops everywhere (the r1 baseline).
       csr     — per-graph dst-sorted dataset order + the CSR Pallas
                 segment-reduce/gather (ops/pallas_csr.py) on every
@@ -134,7 +136,11 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
         not is_stream and model_name not in ("SM", "SOAP")
         and (kernel == "csr"
              or (kernel == "auto" and on_tpu and batching_req == "packed"
-                 and model_name in ("CGCNN", "GCN")))
+                 # 46k-measured csr wins (BULK.md r5): CGCNN ×1.11,
+                 # GCN ×1.59, MEGNet ×1.64, SchNet ×1.41,
+                 # MPNN(csr+fused) ×1.13 — every packed GNN
+                 and model_name in ("CGCNN", "GCN", "MEGNet", "MPNN",
+                                    "SchNet")))
     )
     if kernel == "csr" and not use_csr:
         why = ("descriptor models have no edge aggregation"
