@@ -20,12 +20,6 @@ from matdeeplearn_tpu.nn.pool import Set2Set, get_pool
 from matdeeplearn_tpu.ops import segment
 from matdeeplearn_tpu.ops.aggregate import edge_segment_reduce
 
-_REDUCE = {
-    "global_mean_pool": segment.segment_mean,
-    "global_max_pool": segment.segment_max,
-    "global_sum_pool": segment.segment_sum,
-    "global_add_pool": segment.segment_sum,
-}
 _REDUCE_KIND = {
     "global_mean_pool": "mean",
     "global_max_pool": "max",
@@ -107,18 +101,15 @@ class MEGNet(GNNBase):
                 )
                 out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
             else:
-                reduce = _REDUCE[self.pool]
-                x_pool = reduce(
-                    x, batch.node_graph, num_segments=B + 1, mask=batch.node_mask
-                )[:B]
+                # name-resolved pools route node→graph reduction through
+                # the CSR windowed kernel on TPU (nn/pool.py)
+                pool_fn = get_pool(self.pool)
+                x_pool = pool_fn(x, batch.node_graph, batch.node_mask, B)
                 e_node = edge_segment_reduce(
                     _REDUCE_KIND[self.pool], e, batch.edge_src, num_segments=n,
                     mask=batch.edge_mask,
                 )
-                e_pool = reduce(
-                    e_node, batch.node_graph, num_segments=B + 1,
-                    mask=batch.node_mask,
-                )[:B]
+                e_pool = pool_fn(e_node, batch.node_graph, batch.node_mask, B)
                 out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
             self.sow("intermediates", "graph_embedding", out)
             for i in range(self.post_fc_count):

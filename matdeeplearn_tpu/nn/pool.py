@@ -16,15 +16,17 @@ from matdeeplearn_tpu.ops import segment
 
 
 def global_mean_pool(x, node_graph, node_mask, num_graphs: int):
-    return segment.segment_mean(
-        x, node_graph, num_segments=num_graphs + 1, mask=node_mask
-    )[:num_graphs]
+    # CSR windowed MXU pool on TPU (node_graph is always sorted —
+    # ops/aggregate.py:sorted_pool); masked XLA segment ops elsewhere.
+    from matdeeplearn_tpu.ops.aggregate import sorted_pool
+
+    return sorted_pool(x, node_graph, node_mask, num_graphs, "mean")
 
 
 def global_add_pool(x, node_graph, node_mask, num_graphs: int):
-    return segment.segment_sum(
-        x, node_graph, num_segments=num_graphs + 1, mask=node_mask
-    )[:num_graphs]
+    from matdeeplearn_tpu.ops.aggregate import sorted_pool
+
+    return sorted_pool(x, node_graph, node_mask, num_graphs, "sum")
 
 
 def global_max_pool(x, node_graph, node_mask, num_graphs: int):

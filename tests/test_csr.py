@@ -182,3 +182,54 @@ def test_csr_job_end_to_end(toy_dataset, tmp_path, monkeypatch):
         model_parameters=mp,
     )
     assert result is not None
+
+
+def test_csr_pool_parity(toy_dataset):
+    """node→graph pooling over the CSR kernel (node_graph is sorted in
+    every batch — no layout opt-in): kernel path vs masked XLA ops, fwd
+    and grad, including the ones-column count trick for mean."""
+    from matdeeplearn_tpu.data.batching import (
+        BatchSpec,
+        DeviceDataset,
+        assemble_batch,
+    )
+    from matdeeplearn_tpu.ops import segment
+    from matdeeplearn_tpu.ops.pallas_csr import sorted_segment_sum
+
+    ds = toy_dataset
+    spec = BatchSpec.for_dataset(ds.node_counts(), ds.edge_counts(), 8)
+    b = assemble_batch(DeviceDataset.from_graph_dataset(ds),
+                       jnp.arange(8, dtype=jnp.int32), spec)
+    B = b.num_graphs
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b.num_nodes, 24)), jnp.float32)
+    # mean via the ones-column trick, kernel forced in interpret mode
+    xx = jnp.concatenate([x, jnp.ones((x.shape[0], 1), jnp.float32)], -1)
+    out = sorted_segment_sum(xx, b.node_graph, b.node_mask, B + 1,
+                             256, True, True)
+    s, c = out[:B, :24], out[:B, 24]
+    mean_k = s / jnp.maximum(c, 1.0)[:, None]
+    mean_ref = segment.segment_mean(
+        x, b.node_graph, num_segments=B + 1, mask=b.node_mask)[:B]
+    np.testing.assert_allclose(np.asarray(mean_k), np.asarray(mean_ref),
+                               rtol=1e-5, atol=1e-5)
+    # grads through the kernel's VJP match the XLA pool's
+    cot = jnp.asarray(rng.standard_normal((B, 24)), jnp.float32)
+
+    def via_kernel(xv):
+        xxv = jnp.concatenate(
+            [xv, jnp.ones((xv.shape[0], 1), jnp.float32)], -1)
+        o = sorted_segment_sum(xxv, b.node_graph, b.node_mask, B + 1,
+                               256, True, True)
+        return jnp.sum(o[:B, :24] / jnp.maximum(o[:B, 24], 1.0)[:, None]
+                       * cot)
+
+    def via_xla(xv):
+        return jnp.sum(segment.segment_mean(
+            xv, b.node_graph, num_segments=B + 1,
+            mask=b.node_mask)[:B] * cot)
+
+    gk = jax.grad(via_kernel)(x)
+    gr = jax.grad(via_xla)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-5)
