@@ -353,6 +353,7 @@ def main():
             extra.get("batching", "padded"),
             extra.get("kernel"),
             "bf16" if extra.get("precision") == "bf16" else None,
+            "nowire" if extra.get("stream_wire") == "False" else None,
             f"b{batch}",
         ]))
         try:

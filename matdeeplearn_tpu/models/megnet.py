@@ -17,7 +17,6 @@ from matdeeplearn_tpu.models.base import GNNBase
 from matdeeplearn_tpu.nn.conv import MEGNetBlock
 from matdeeplearn_tpu.nn.layers import Linear, MLP, get_activation
 from matdeeplearn_tpu.nn.pool import Set2Set, get_pool
-from matdeeplearn_tpu.ops import segment
 from matdeeplearn_tpu.ops.aggregate import edge_segment_reduce
 
 _REDUCE_KIND = {

@@ -379,14 +379,14 @@ class MEGNetBlock(nn.Module):
 
         u_e = edge_segment_mean(e_out, edge_src, num_segments=n,
                                 mask=batch.edge_mask)
-        # node→graph means ride the CSR windowed pool on TPU (node_graph
-        # is always sorted — ops/aggregate.py:sorted_pool)
-        from matdeeplearn_tpu.ops.aggregate import sorted_pool
-
-        u_e = sorted_pool(u_e, node_graph, batch.node_mask, num_graphs,
-                          "mean")
-        u_v = sorted_pool(x, node_graph, batch.node_mask, num_graphs,
-                          "mean")
+        # node→graph means stay on XLA segment ops by measurement (the
+        # CSR pool is e2e-neutral here; see nn/pool.py:global_mean_pool)
+        u_e = segment.segment_mean(
+            u_e, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
+        )[:num_graphs]
+        u_v = segment.segment_mean(
+            x, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
+        )[:num_graphs]
         comb_u = jnp.concatenate([u_e, u_v, u], axis=-1)
         u_out = MEGNetMLP(**mlp, name="global_mlp")(
             comb_u, mask=batch.graph_mask, training=training

@@ -16,17 +16,22 @@ from matdeeplearn_tpu.ops import segment
 
 
 def global_mean_pool(x, node_graph, node_mask, num_graphs: int):
-    # CSR windowed MXU pool on TPU (node_graph is always sorted —
-    # ops/aggregate.py:sorted_pool); masked XLA segment ops elsewhere.
-    from matdeeplearn_tpu.ops.aggregate import sorted_pool
-
-    return sorted_pool(x, node_graph, node_mask, num_graphs, "mean")
+    # Stays on masked XLA segment ops BY MEASUREMENT: the CSR windowed
+    # pool (ops/aggregate.py:sorted_pool — node_graph is always sorted,
+    # so it needs no layout opt-in) wins op-level (~2.2 ms isolated XLA
+    # pool at packed-bin shapes) but measures NEUTRAL to ×0.91 end-to-end
+    # (CGCNN csr 19.71→21.57 ms fwd+bwd, MEGNet ±0.5 ms noise, r5): the
+    # small pool overlaps with adjacent compute under XLA and the opaque
+    # pallas_call forfeits that. Same lesson as the r2 windowed kernel.
+    return segment.segment_mean(
+        x, node_graph, num_segments=num_graphs + 1, mask=node_mask
+    )[:num_graphs]
 
 
 def global_add_pool(x, node_graph, node_mask, num_graphs: int):
-    from matdeeplearn_tpu.ops.aggregate import sorted_pool
-
-    return sorted_pool(x, node_graph, node_mask, num_graphs, "sum")
+    return segment.segment_sum(
+        x, node_graph, num_segments=num_graphs + 1, mask=node_mask
+    )[:num_graphs]
 
 
 def global_max_pool(x, node_graph, node_mask, num_graphs: int):

@@ -144,18 +144,24 @@ def edge_aggregate(messages, batch, reduce: str = "sum", weights=None):
 
 def sorted_pool(x, node_graph, node_mask, num_graphs: int,
                 reduce: str = "mean"):
-    """node→graph pooling on the CSR kernel (sum | mean).
+    """node→graph pooling on the CSR kernel (sum | mean) — a MEASURED
+    NEGATIVE kept as tested documentation-by-code, NOT wired into any
+    model (r5).
 
-    Unlike edge aggregation this needs NO layout opt-in: `node_graph` is
-    non-decreasing in EVERY assembled batch (nodes are laid out per graph
-    in slot order, pads in the dummy tail segment), and real graphs
-    occupy prefix slots hole-free — exactly the CSR contract, still
-    verified on-device by the kernel's certificate. The isolated XLA
-    pool measured ~2.2 ms at packed-bin shapes (bench_megnet_decomp.py);
-    the kernel runs it as a 3-grid-step windowed MXU reduce. For `mean`,
-    a ones-column rides the same kernel pass (lane padding makes D+1
-    free), so counts cost no second scatter. Falls back to the masked
-    XLA ops off-TPU and for narrow features.
+    The idea: `node_graph` is non-decreasing in EVERY assembled batch
+    (nodes are laid out per graph in slot order, pads in the dummy tail
+    segment) and real graphs occupy prefix slots hole-free — the CSR
+    contract with no layout opt-in — and the isolated XLA pool costs
+    ~2.2 ms at packed-bin shapes (bench_megnet_decomp.py). For `mean` a
+    ones-column rides the same kernel pass (lane padding makes D+1
+    free), so counts cost no second scatter.
+
+    The measurement: e2e fwd+bwd at packed-bin shapes, one v5e —
+    CGCNN csr-agg 19.71 (XLA pool) vs 21.57 ms (this), MEGNet ±0.5 ms
+    noise both ways. XLA overlaps the small pool with adjacent compute;
+    the opaque pallas_call forfeits that and the cond/certificate adds
+    elementwise work — the r2 windowed-kernel lesson at pool scale.
+    Models therefore keep the masked XLA segment ops (nn/pool.py).
     """
     d = x.shape[-1]
     if jax.default_backend() != "tpu" or d < 8:
