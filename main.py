@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--epochs", default=None, type=int)
     parser.add_argument("--batch_size", default=None, type=int)
     parser.add_argument("--lr", default=None, type=float)
+    parser.add_argument("--kernel", default=None, type=str,
+                        help="conv kernel path override: auto|csr|fused|"
+                             "pallas|xla (see config.yml Models notes)")
+    parser.add_argument("--batching", default=None, type=str,
+                        help="padded|packed (budget-packed batches)")
     return parser
 
 
@@ -106,7 +111,7 @@ def load_config(args) -> dict:
         if v is not None:
             config["Training"][key] = v
     for mkey in config["Models"]:
-        for key in ("epochs", "batch_size", "lr"):
+        for key in ("epochs", "batch_size", "lr", "kernel", "batching"):
             v = getattr(args, key, None)
             if v is not None:
                 config["Models"][mkey][key] = v

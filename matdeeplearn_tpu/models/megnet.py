@@ -100,8 +100,6 @@ class MEGNet(GNNBase):
                 )
                 out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
             else:
-                # name-resolved pools route node→graph reduction through
-                # the CSR windowed kernel on TPU (nn/pool.py)
                 pool_fn = get_pool(self.pool)
                 x_pool = pool_fn(x, batch.node_graph, batch.node_mask, B)
                 e_node = edge_segment_reduce(
