@@ -220,12 +220,15 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
         idx = np.arange(len(ds), dtype=np.int64)
         tr, va = idx[: int(0.9 * len(ds))], idx[int(0.9 * len(ds)):]
         times = {}
-        for kern in ("fused", "pallas", "xla"):
+        for kern in ("fused", "pallas", "xla", "csr"):
             mp = {"model": "CGCNN", "dim1": 100, "dim2": 150,
                   "pre_fc_count": 1, "gc_count": 4, "post_fc_count": 3,
                   "batch_size": batch, "epochs": epochs, "lr": 0.002,
                   "optimizer": "AdamW", "scheduler": "ReduceLROnPlateau",
                   "kernel": kern}
+            if kern == "csr":
+                # the csr arm is the packed production path (BULK.md r5)
+                mp["batching"] = "packed"
             run = J.setup_run(ds, mp, "l1_loss", seed=7, print_model=False)
             # warm (compile)
             _, last, _ = J.run_fused_training(
@@ -246,19 +249,21 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
             "bulk_epoch_s_fused": round(times["fused"], 4),
             "bulk_epoch_s_pallas": round(times["pallas"], 4),
             "bulk_epoch_s_xla": round(times["xla"], 4),
+            "bulk_epoch_s_csr_packed": round(times["csr"], 4),
             "bulk_fused_speedup": round(times["xla"] / times["fused"], 3),
             "bulk_pallas_speedup": round(times["xla"] / times["pallas"], 3),
+            "bulk_csr_packed_speedup": round(times["xla"] / times["csr"], 3),
             "bulk_edges_per_batch": round(edges_per_batch),
         }
-        # MPNN fused-bilinear A/B (r4, ops/pallas_bilinear.py): the
-        # framework's largest kernel win — x3.4 at 46k (KERNELS.md r4).
+        # MPNN csr+fused A/B (r5): the bilinear VMEM kernel composed with
+        # CSR aggregation — the framework's largest kernel win (KERNELS.md).
         # Small batch: the XLA leg materializes the (E, D, K) tensor, so
         # big packed bins (b256 -> E~193k slots -> 7.7 GB) blow the
         # compile; b64 keeps it ~2.5 GB. Isolated try: an MPNN failure
         # must not discard the CGCNN results above.
         try:
             mtimes = {}
-            for kern in ("fused", "xla"):
+            for kern in ("csr", "xla"):
                 mp = {"model": "MPNN", "dim1": 100, "dim2": 100,
                       "dim3": 100, "pre_fc_count": 1, "gc_count": 4,
                       "post_fc_count": 3, "batch_size": 64,
@@ -281,10 +286,10 @@ def _bulk_epoch_times(n_graphs=2048, batch=256, epochs=5):
                 jax.block_until_ready(last.params)
                 mtimes[kern] = (time.time() - t0) / epochs
                 log(f"bulk MPNN {kern}: {mtimes[kern]:.3f} s/epoch")
-            out["bulk_mpnn_epoch_s_fused"] = round(mtimes["fused"], 4)
+            out["bulk_mpnn_epoch_s_csr_fused"] = round(mtimes["csr"], 4)
             out["bulk_mpnn_epoch_s_xla"] = round(mtimes["xla"], 4)
-            out["bulk_mpnn_fused_speedup"] = round(
-                mtimes["xla"] / mtimes["fused"], 3)
+            out["bulk_mpnn_csr_fused_speedup"] = round(
+                mtimes["xla"] / mtimes["csr"], 3)
         except Exception:
             log("bulk MPNN segment failed:\n" + traceback.format_exc())
         return out

@@ -107,19 +107,29 @@ class DeviceDataset(struct.PyTreeNode):
     # — random-row gathers are latency-bound on TPU, and assembly measured
     # 38% of the packed bulk epoch before this packing (BULK.md ablation).
     edge_packed: jax.Array | None = None
-    # Per-graph dst-sorted edge order (kernel: csr): graphs occupy
-    # contiguous node ranges in slot order, so per-graph (dst, src)
-    # sorting makes every assembled batch's edge_dst globally
-    # non-decreasing — the layout contract of ops/pallas_csr.py.
-    dst_sorted: bool = struct.field(pytree_node=False, default=False)
-    # (N_tot,) f32 per-node true in-degree — a dataset constant, assembled
-    # into batches by the node gather (a per-assembly E-row count scatter
-    # measured ~1 ms at bin scale; this is free).
+    # Per-graph sorted edge order (kernel: csr): "dst" sorts each graph's
+    # edges by (local dst, local src), "src" by (local src, local dst).
+    # Graphs occupy contiguous node ranges in slot order, so either makes
+    # the corresponding assembled-batch index globally non-decreasing —
+    # the layout contract of ops/pallas_csr.py. None = reference order.
+    edge_order: str | None = struct.field(pytree_node=False, default=None)
+    # (N_tot,) f32 per-node degree AT THE SORTED SIDE (in-degree under
+    # "dst", out-degree under "src") — a dataset constant, assembled into
+    # batches by the node gather (a per-assembly count scatter measured
+    # ~1 ms at bin scale; this is free).
     node_indeg: jax.Array | None = None
+
+    @property
+    def dst_sorted(self) -> bool:
+        return self.edge_order == "dst"
+
+    @property
+    def src_sorted(self) -> bool:
+        return self.edge_order == "src"
 
     @classmethod
     def from_graph_dataset(cls, ds, extra_key: str | None = None,
-                           dst_sorted: bool = False) -> "DeviceDataset":
+                           edge_order: str | None = None) -> "DeviceDataset":
         y = ds.targets
         if y.ndim == 1:
             y = y[:, None]
@@ -135,21 +145,25 @@ class DeviceDataset(struct.PyTreeNode):
         ew = np.asarray(ds.edge_weight, np.float32)
         ed = np.asarray(ds.edge_dist_norm, np.float32)
         node_indeg = None
-        if dst_sorted:
+        assert edge_order in (None, "dst", "src"), edge_order
+        if edge_order is not None:
             # One host-side lexsort per run (~1 s at 20M edges): within
-            # each graph order edges by (local dst, local src). Node ids
+            # each graph order edges by the sorted-side local id. Node ids
             # are graph-local here, so the key needs the graph id major.
             gid = np.repeat(
                 np.arange(len(ds.node_ptr) - 1, dtype=np.int64),
                 np.diff(ds.edge_ptr),
             )
-            perm = np.lexsort((esrc, edst, gid))
+            major, minor = ((edst, esrc) if edge_order == "dst"
+                            else (esrc, edst))
+            perm = np.lexsort((minor, major, gid))
             esrc, edst, ew, ed = esrc[perm], edst[perm], ew[perm], ed[perm]
-            # dataset-global per-node in-degree (global dst = local dst +
-            # the graph's node offset)
+            # dataset-global per-node sorted-side degree (global id =
+            # local id + the graph's node offset)
+            side = edst if edge_order == "dst" else esrc
             nptr = np.asarray(ds.node_ptr, np.int64)
             indeg = np.zeros(int(nptr[-1]), np.float32)
-            np.add.at(indeg, edst.astype(np.int64) + nptr[gid[perm]], 1.0)
+            np.add.at(indeg, side.astype(np.int64) + nptr[gid[perm]], 1.0)
             node_indeg = jnp.asarray(indeg)
         packed = np.empty((len(esrc), 4), np.int32)
         packed[:, 0] = esrc
@@ -158,7 +172,7 @@ class DeviceDataset(struct.PyTreeNode):
         packed[:, 3] = ed.view(np.int32)
         return cls(
             extra=extra,
-            dst_sorted=dst_sorted,
+            edge_order=edge_order,
             node_indeg=node_indeg,
             edge_packed=jnp.asarray(packed),
             node_x=jnp.asarray(ds.node_x, jnp.float32),
@@ -209,15 +223,25 @@ class GraphBatch(struct.PyTreeNode):
     # (ops/pallas_fused.py): gate/core MLPs + edge basis + aggregation in
     # one MXU pass, z/gate/core/messages never hitting HBM
     kernel_fused: bool = struct.field(pytree_node=False, default=False)
-    # kernel: "csr" — edge_dst is non-decreasing over real edges (per-graph
-    # dst-sorted dataset order); aggregations and dst-side gathers run the
-    # CSR Pallas kernels (ops/pallas_csr.py). in_degree is populated.
-    dst_sorted: bool = struct.field(pytree_node=False, default=False)
+    # kernel: "csr" — the sorted-side edge index ("dst" or "src") is
+    # non-decreasing over real edges (per-graph sorted dataset order);
+    # aggregations and sorted-side gathers run the CSR Pallas kernels
+    # (ops/pallas_csr.py). in_degree holds the sorted side's per-node
+    # degree (in-degree under "dst", OUT-degree under "src").
+    edge_order: str | None = struct.field(pytree_node=False, default=None)
 
     @property
     def edge_dst_safe(self) -> jax.Array:
         """edge_dst with pad markers clipped for XLA gathers."""
         return jnp.maximum(self.edge_dst, 0)
+
+    @property
+    def dst_sorted(self) -> bool:
+        return self.edge_order == "dst"
+
+    @property
+    def src_sorted(self) -> bool:
+        return self.edge_order == "src"
 
     @property
     def is_windowed(self) -> bool:
@@ -307,15 +331,16 @@ def assemble_batch(data: DeviceDataset, graph_ids: jax.Array, spec: BatchSpec) -
     ed = jnp.where(edge_valid, ed_r, 0.0)
 
     in_degree = None
-    if data.dst_sorted and data.node_indeg is not None:
-        # in-degree is a per-node dataset constant: ride the node gather
-        # (a per-assembly count scatter here measured ~1 ms at bin scale).
+    if data.edge_order is not None and data.node_indeg is not None:
+        # the sorted side's per-node degree is a dataset constant: ride
+        # the node gather (a per-assembly count scatter measured ~1 ms
+        # at bin scale).
         in_degree = jnp.where(
             node_valid, data.node_indeg[src_index], 0.0
         )
 
     return GraphBatch(
-        dst_sorted=data.dst_sorted,
+        edge_order=data.edge_order,
         in_degree=in_degree,
         x=x,
         edge_src=esrc.astype(jnp.int32),

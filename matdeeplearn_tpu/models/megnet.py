@@ -17,7 +17,10 @@ from matdeeplearn_tpu.models.base import GNNBase
 from matdeeplearn_tpu.nn.conv import MEGNetBlock
 from matdeeplearn_tpu.nn.layers import Linear, MLP, get_activation
 from matdeeplearn_tpu.nn.pool import Set2Set, get_pool
-from matdeeplearn_tpu.ops.aggregate import edge_segment_reduce
+from matdeeplearn_tpu.ops.aggregate import (
+    edge_segment_reduce,
+    src_segment_mean,
+)
 
 _REDUCE_KIND = {
     "global_mean_pool": "mean",
@@ -102,10 +105,15 @@ class MEGNet(GNNBase):
             else:
                 pool_fn = get_pool(self.pool)
                 x_pool = pool_fn(x, batch.node_graph, batch.node_mask, B)
-                e_node = edge_segment_reduce(
-                    _REDUCE_KIND[self.pool], e, batch.edge_src, num_segments=n,
-                    mask=batch.edge_mask,
-                )
+                # mean edge→node pooling rides the CSR kernel when the
+                # batch is src-sorted (MEGNet's csr layout)
+                if _REDUCE_KIND[self.pool] == "mean":
+                    e_node = src_segment_mean(e, batch)
+                else:
+                    e_node = edge_segment_reduce(
+                        _REDUCE_KIND[self.pool], e, batch.edge_src,
+                        num_segments=n, mask=batch.edge_mask,
+                    )
                 e_pool = pool_fn(e_node, batch.node_graph, batch.node_mask, B)
                 out = jnp.concatenate([x_pool, e_pool, u], axis=-1)
             self.sow("intermediates", "graph_embedding", out)

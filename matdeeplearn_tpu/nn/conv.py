@@ -35,6 +35,8 @@ from matdeeplearn_tpu.ops.aggregate import (
     edge_aggregate,
     edge_segment_mean,
     gather_dst,
+    gather_src,
+    src_segment_mean,
 )
 
 
@@ -108,9 +110,9 @@ class CGConv(nn.Module):
             return x + agg.astype(dt)
 
         z = jnp.concatenate(
-            [gather_dst(x, batch), x[batch.edge_src], edge_attr], axis=-1
-        )  # [x_i, x_j, e] — PyG CGConv concat order (x_i rides the CSR
-        # sorted-gather kernel when the batch is dst-sorted)
+            [gather_dst(x, batch), gather_src(x, batch), edge_attr], axis=-1
+        )  # [x_i, x_j, e] — PyG CGConv concat order (each side rides the
+        # CSR sorted-gather kernel when the batch is sorted by it)
         gate = jax.nn.sigmoid(Linear(self.dim, name="lin_f")(z))
         core = jax.nn.softplus(Linear(self.dim, name="lin_s")(z))
         agg = edge_aggregate(gate * core, batch, reduce="mean")
@@ -154,7 +156,7 @@ class NNConv(nn.Module):
     def __call__(self, x, batch, edge_attr):
         din = x.shape[-1]
         a, kw, kb = self.edge_net(edge_attr)
-        xj = x[batch.edge_src]
+        xj = gather_src(x, batch)
         if self.fused:
             from matdeeplearn_tpu.ops.pallas_bilinear import (
                 fused_bilinear_msg,
@@ -224,7 +226,7 @@ class SchNetInteraction(nn.Module):
             dt = x.dtype
             h = Linear(self.filters, use_bias=False,
                        kernel_init=xavier_uniform(), name="lin1")(x)
-            xj = h.astype(jnp.float32)[batch.edge_src]
+            xj = gather_src(h.astype(jnp.float32), batch)
             te = batch.num_edges // batch.tile_window.shape[0]
             we = WindowedEdges(
                 order=batch.edge_dst, dst=batch.edge_dst,
@@ -257,7 +259,7 @@ class SchNetInteraction(nn.Module):
 
         h = Linear(self.filters, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin1")(x)
-        msg = h[batch.edge_src] * w
+        msg = gather_src(h, batch) * w
         agg = edge_aggregate(msg, batch, reduce="sum")
         out = Linear(self.dim, kernel_init=xavier_uniform(),
                      bias_init=nn.initializers.zeros, name="lin2")(agg)
@@ -288,7 +290,7 @@ class GCNConv(nn.Module):
         # multiplies on the VPU inside ops/pallas_segment.py:windowed_spmm —
         # the scaled messages never hit HBM). Degree math stays f32; the
         # weights cast to the activation dtype inside edge_aggregate.
-        out = edge_aggregate(h[batch.edge_src], batch, reduce="sum",
+        out = edge_aggregate(gather_src(h, batch), batch, reduce="sum",
                              weights=norm)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         return out + bias.astype(out.dtype)
@@ -358,18 +360,22 @@ class MEGNetBlock(nn.Module):
         edge_graph = batch.node_graph[edge_src]
         node_graph = batch.node_graph
 
+        # under edge_order "src" (MEGNet's csr layout) x[src], the u
+        # broadcast (edge_graph = node_graph[src] is then sorted) and the
+        # edge→node means below all ride the CSR kernels; under "dst"
+        # only gather_dst does (the helpers fall back per side).
+        from matdeeplearn_tpu.ops.aggregate import gather_edge_graph
+
         comb_e = jnp.concatenate(
-            [x[edge_src], gather_dst(x, batch), e,
-             u[jnp.minimum(edge_graph, num_graphs - 1)]],
+            [gather_src(x, batch), gather_dst(x, batch), e,
+             gather_edge_graph(u, edge_graph, batch, num_graphs)],
             axis=-1,
         )
         e_out = MEGNetMLP(**mlp, stat_axis=self.ep_axis, name="edge_mlp")(
             comb_e, mask=batch.edge_mask, training=training
         )
 
-        v_e = edge_segment_mean(
-            e_out, edge_src, num_segments=n, mask=batch.edge_mask
-        )
+        v_e = src_segment_mean(e_out, batch)
         comb_v = jnp.concatenate(
             [x, v_e, u[jnp.minimum(node_graph, num_graphs - 1)]], axis=-1
         )
@@ -377,8 +383,7 @@ class MEGNetBlock(nn.Module):
             comb_v, mask=batch.node_mask, training=training
         )
 
-        u_e = edge_segment_mean(e_out, edge_src, num_segments=n,
-                                mask=batch.edge_mask)
+        u_e = src_segment_mean(e_out, batch)
         # node→graph means stay on XLA segment ops by measurement (the
         # CSR pool is e2e-neutral here; see nn/pool.py:global_mean_pool)
         u_e = segment.segment_mean(

@@ -185,6 +185,70 @@ def sorted_pool(x, node_graph, node_mask, num_graphs: int,
     return out[:num_graphs].astype(xdtype)
 
 
+def gather_src(x, batch):
+    """x[edge_src] for message construction — the CSR sorted-gather when
+    the batch is SRC-sorted (edge_order: "src", MEGNet's csr layout; VJP
+    = CSR scatter-add at src), plain XLA `take` otherwise. Mirrors
+    gather_dst for the opposite side."""
+    ring = _ring()
+    if (getattr(batch, "src_sorted", False) and x.shape[-1] >= 8
+            and not ring.is_edge_sharded(batch.edge_src)):
+        xdtype = x.dtype
+        interpret = jax.default_backend() != "tpu"
+        out = PC.sorted_gather(
+            x.astype(jnp.float32), batch.edge_src, batch.edge_mask,
+            batch.num_nodes, PC.DEFAULT_TE, interpret,
+            not batch.kernel_bf16,
+        )
+        return out.astype(xdtype)
+    return x[batch.edge_src]
+
+
+def gather_edge_graph(u, edge_graph, batch, num_graphs: int):
+    """u[edge_graph] — the per-edge graph-feature broadcast (MEGNet's u
+    into comb_e). edge_graph = node_graph[edge_src] is non-decreasing
+    when the batch is src-sorted (node_graph is non-decreasing and src
+    is sorted), so the CSR gather runs it; XLA take otherwise or for
+    narrow u."""
+    ring = _ring()
+    if (getattr(batch, "src_sorted", False) and u.shape[-1] >= 8
+            and not ring.is_edge_sharded(edge_graph)):
+        udtype = u.dtype
+        interpret = jax.default_backend() != "tpu"
+        out = PC.sorted_gather(
+            u.astype(jnp.float32), edge_graph, batch.edge_mask,
+            num_graphs, PC.DEFAULT_TE, interpret, not batch.kernel_bf16,
+        )
+        return out.astype(udtype)
+    return u[jnp.minimum(edge_graph, num_graphs - 1)]
+
+
+def src_segment_mean(values, batch):
+    """mean of per-edge `values` at the SOURCE node — MEGNet's edge→node
+    aggregation direction (megnet.py:86/130). Under edge_order "src" the
+    CSR segment-sum runs it (batch.in_degree holds the OUT-degree there);
+    otherwise the ep-aware XLA mean."""
+    ring = _ring()
+    if (getattr(batch, "src_sorted", False) and values.shape[-1] >= 8
+            and not ring.is_edge_sharded(values)):
+        vdtype = values.dtype
+        interpret = jax.default_backend() != "tpu"
+        out = PC.sorted_segment_sum(
+            values.astype(jnp.float32), batch.edge_src, batch.edge_mask,
+            batch.num_nodes, PC.DEFAULT_TE, interpret,
+            not batch.kernel_bf16,
+        )
+        deg = (batch.in_degree if batch.in_degree is not None
+               else segment.segment_count(
+                   batch.edge_src, batch.num_nodes, mask=batch.edge_mask))
+        out = jnp.where(deg[:, None] > 0,
+                        out / jnp.maximum(deg, 1.0)[:, None], 0.0)
+        return out.astype(vdtype)
+    return edge_segment_mean(values, batch.edge_src,
+                             num_segments=batch.num_nodes,
+                             mask=batch.edge_mask)
+
+
 def gather_dst(x, batch):
     """x[edge_dst] for message construction (CGConv's x_i, MEGNet's
     dst-side features) — the CSR sorted-gather when the batch is

@@ -72,12 +72,15 @@ class KernelPlan:
     use_windowed: bool = False  # graph-aligned windowed edge layout
     fused_mode: bool = False    # fused CGConv / cfconv windowed kernels
     mpnn_fused: bool = False    # NNConv bilinear VMEM kernel (model-internal)
-    use_csr: bool = False       # dst-sorted layout + CSR segment kernels
+    use_csr: bool = False       # sorted layout + CSR segment kernels
+    csr_order: str = "dst"      # sorted side: "dst" | "src" (MEGNet)
     name: str = "xla"           # resolved display name
 
 
 def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
-                    is_stream: bool, ep: int) -> KernelPlan:
+                    is_stream: bool, ep: int,
+                    model_parameters_csr_order: str | None = None
+                    ) -> KernelPlan:
     """The kernel/batching resolution matrix, in one place.
 
     Accepted `kernel` values and what they run (all verdicts TPU-measured,
@@ -160,11 +163,19 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
         print("kernel=fused applies to CGCNN, SchNet and MPNN; other "
               "models run the windowed aggregation kernel "
               "(kernel=pallas behavior)")
+    # Sorted side: MEGNet's heavy aggregations are at the SOURCE node
+    # (edge→node means, x[src] gathers, u broadcasts at node_graph[src] —
+    # megnet.py:86/130 roles), so its csr layout sorts by src; every other
+    # model aggregates at dst. Overridable via csr_order in the model
+    # config for A/Bs.
+    csr_order = str(model_parameters_csr_order or
+                    ("src" if model_name == "MEGNet" else "dst"))
     name = ("csr+fused" if (use_csr and mpnn_fused)
             else "csr" if use_csr
             else "fused" if (fused_mode or mpnn_fused)
             else "pallas" if use_windowed else "xla")
-    return KernelPlan(use_windowed, fused_mode, mpnn_fused, use_csr, name)
+    return KernelPlan(use_windowed, fused_mode, mpnn_fused, use_csr,
+                      csr_order, name)
 
 
 def setup_run(
@@ -207,7 +218,8 @@ def setup_run(
     kernel = str(model_parameters.get("kernel", "auto")).lower()
     batching_req = str(model_parameters.get("batching", "padded")).lower()
     use_packed = batching_req == "packed"
-    plan = _resolve_kernel(model_name, kernel, batching_req, is_stream, ep)
+    plan = _resolve_kernel(model_name, kernel, batching_req, is_stream, ep,
+                           model_parameters.get("csr_order"))
     fused_mode, mpnn_fused = plan.fused_mode, plan.mpnn_fused
     use_csr, use_windowed = plan.use_csr, plan.use_windowed
 
@@ -294,7 +306,8 @@ def setup_run(
             spec = BatchSpec.for_dataset(
                 dataset.node_counts(), dataset.edge_counts(), bs, align=8 * ep
             )
-        data = DeviceDataset.from_graph_dataset(dataset, dst_sorted=use_csr)
+        data = DeviceDataset.from_graph_dataset(
+            dataset, edge_order=plan.csr_order if use_csr else None)
         assemble_fn = None
     lr = float(model_parameters.get("lr", 1e-3)) * lr_scale
     tx = build_optimizer(

@@ -92,7 +92,7 @@ def test_csr_batch_assembly_sorted(toy_dataset):
     )
 
     ds = toy_dataset
-    dd = DeviceDataset.from_graph_dataset(ds, dst_sorted=True)
+    dd = DeviceDataset.from_graph_dataset(ds, edge_order="dst")
     assert dd.dst_sorted
     spec = BatchSpec.for_dataset(ds.node_counts(), ds.edge_counts(), 8)
     b = assemble_batch(dd, jnp.arange(8, dtype=jnp.int32), spec)
@@ -124,7 +124,7 @@ def test_csr_model_parity(toy_dataset):
     ids = jnp.arange(8, dtype=jnp.int32)
     b_ref = assemble_batch(DeviceDataset.from_graph_dataset(ds), ids, spec)
     b_csr = assemble_batch(
-        DeviceDataset.from_graph_dataset(ds, dst_sorted=True), ids, spec)
+        DeviceDataset.from_graph_dataset(ds, edge_order="dst"), ids, spec)
     for name, params in (
         ("CGCNN", {"dim1": 12, "dim2": 10, "gc_count": 2, "batch_norm": True}),
         ("GCN", {"dim1": 12, "dim2": 10, "gc_count": 2, "batch_norm": True}),
@@ -233,3 +233,55 @@ def test_csr_pool_parity(toy_dataset):
     gr = jax.grad(via_xla)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_csr_src_order_megnet_parity(toy_dataset):
+    """MEGNet with the src-sorted layout (its csr order: edge→node means,
+    x[src] gathers and u broadcasts ride the CSR kernels) matches the
+    reference-order path, fwd + grads."""
+    from matdeeplearn_tpu.data.batching import (
+        BatchSpec,
+        DeviceDataset,
+        assemble_batch,
+    )
+    from matdeeplearn_tpu.models import build_model
+    from matdeeplearn_tpu.training import train as T
+    from matdeeplearn_tpu.training.optimizers import build_optimizer
+
+    ds = toy_dataset
+    spec = BatchSpec.for_dataset(ds.node_counts(), ds.edge_counts(), 8)
+    ids = jnp.arange(8, dtype=jnp.int32)
+    b_ref = assemble_batch(DeviceDataset.from_graph_dataset(ds), ids, spec)
+    dd_src = DeviceDataset.from_graph_dataset(ds, edge_order="src")
+    assert dd_src.src_sorted and not dd_src.dst_sorted
+    b_src = assemble_batch(dd_src, ids, spec)
+    assert b_src.src_sorted and b_src.in_degree is not None
+    src = np.asarray(b_src.edge_src)[np.asarray(b_src.edge_mask) > 0]
+    assert np.all(np.diff(src) >= 0), "batch edge_src not sorted"
+    # in_degree holds the OUT-degree under src order
+    outdeg = np.zeros(b_src.num_nodes)
+    np.add.at(outdeg, src, 1.0)
+    np.testing.assert_allclose(np.asarray(b_src.in_degree), outdeg)
+
+    model = build_model("MEGNet", ds, {"dim1": 12, "dim2": 12, "dim3": 12,
+                                       "gc_fc_count": 1, "gc_count": 2})
+    tx = build_optimizer("SGD", 0.1, {})
+    state = T.init_state(model, tx, b_ref, 0)
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    out_ref = model.apply(vars_, b_ref, training=False)
+    out_src = model.apply(vars_, b_src, training=False)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_src),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_of(p, b):
+        out = model.apply({"params": p, "batch_stats": state.batch_stats},
+                          b, training=False)
+        return jnp.sum(jnp.abs(out) * b.graph_mask)
+
+    g_ref = jax.grad(loss_of)(state.params, b_ref)
+    g_src = jax.grad(loss_of)(state.params, b_src)
+    for r, c in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_src)):
+        sc = max(float(jnp.abs(r).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(r),
+                                   rtol=5e-4, atol=5e-4 * sc)
