@@ -315,6 +315,7 @@ def make_spmd_batch_train_step(model, tx, loss_name: str, mesh: Mesh,
 
     def shard_fn(state, batch, rng_blk):
         b = jax.tree.map(lambda x: x[0], batch)
+        b = _maybe_expand_wire(b)
         if manual_ep:
             b = _slice_edge_shard(b, ep)
         rng_local = rng_blk[0]
@@ -382,6 +383,7 @@ def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh,
 
     def shard_fn(state, batch):
         b = jax.tree.map(lambda x: x[0], batch)
+        b = _maybe_expand_wire(b)
         if manual_ep:
             b = _slice_edge_shard(b, ep)
         out = model.apply(
@@ -407,6 +409,14 @@ def make_spmd_batch_eval_step(model, loss_name: str, mesh: Mesh,
     ))
 
 
+def _maybe_expand_wire(b):
+    """Inflate a per-replica WireBatch (compact streaming H2D payload) to a
+    GraphBatch inside the shard body — data/streaming.py:expand_wire."""
+    from matdeeplearn_tpu.data.streaming import WireBatch, expand_wire
+
+    return expand_wire(b) if isinstance(b, WireBatch) else b
+
+
 class ShardedStream:
     """Wraps a StreamingGraphDataset so each assemble() returns dp stacked
     per-replica batches placed with a P('dp') sharding — streaming × SPMD.
@@ -429,6 +439,16 @@ class ShardedStream:
 
         ids = np.asarray(graph_ids).reshape(self._dp, -1)
         parts = [self._sds.assemble(row, spec) for row in ids]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *parts)
+        return jax.device_put(stacked, self._sharding)
+
+    def assemble_wire(self, graph_ids, spec):
+        # dp-stacked compact wire payloads; the SPMD batch steps expand
+        # per replica inside the shard body (_maybe_expand_wire).
+        import numpy as np
+
+        ids = np.asarray(graph_ids).reshape(self._dp, -1)
+        parts = [self._sds.assemble_wire(row, spec) for row in ids]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *parts)
         return jax.device_put(stacked, self._sharding)
 
