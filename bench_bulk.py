@@ -277,9 +277,16 @@ def main():
                      "kernel": "csr", "batching": "packed"}
             batch = args.batch
         elif name == "megnet-packed-csr":
+            # csr_order defaults to "src" for MEGNet (_resolve_kernel)
             extra = {"model": "MEGNet", "dim1": 100, "dim2": 100,
                      "dim3": 100, "gc_fc_count": 2, "kernel": "csr",
                      "batching": "packed"}
+            batch = args.batch
+        elif name == "megnet-packed-csr-dst":
+            # dst-order control arm for the src-vs-dst A/B
+            extra = {"model": "MEGNet", "dim1": 100, "dim2": 100,
+                     "dim3": 100, "gc_fc_count": 2, "kernel": "csr",
+                     "batching": "packed", "csr_order": "dst"}
             batch = args.batch
         elif name == "packed-fused":
             extra = {"kernel": "fused", "batching": "packed"}
@@ -354,6 +361,7 @@ def main():
             extra.get("kernel"),
             "bf16" if extra.get("precision") == "bf16" else None,
             "nowire" if extra.get("stream_wire") == "False" else None,
+            extra.get("csr_order"),
             f"b{batch}",
         ]))
         try:
