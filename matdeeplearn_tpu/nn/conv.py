@@ -283,15 +283,21 @@ class GCNConv(nn.Module):
         ew = batch.edge_weight * batch.edge_mask
         deg = edge_aggregate(ew[:, None], batch, reduce="sum")[:, 0]
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
-        norm = dis[batch.edge_src] * ew * dis[batch.edge_dst_safe]
         h = Linear(self.dim, use_bias=False, kernel_init=xavier_uniform(),
                    name="lin")(x)
-        # Fused SpMM: norm folds into the aggregation kernel (windowed path
-        # multiplies on the VPU inside ops/pallas_segment.py:windowed_spmm —
-        # the scaled messages never hit HBM). Degree math stays f32; the
-        # weights cast to the activation dtype inside edge_aggregate.
-        out = edge_aggregate(gather_src(h, batch), batch, reduce="sum",
-                             weights=norm)
+        # D^-1/2 Â D^-1/2 algebraically reassociated to NODE space:
+        #   out_i = dis_i · Σ_{j→i} ew · (dis_j · h_j)
+        # pre-scale h by dis (one N-row elementwise), aggregate with the
+        # per-edge ew only, post-scale by dis — this removes BOTH per-edge
+        # D=1 dis gathers (dis[src], dis[dst]: latency-bound random-row
+        # reads the CSR kernels don't cover at D=1). Same math, fp-reorder
+        # class difference only. The windowed path still folds ew into the
+        # SpMM kernel's VPU (ops/pallas_segment.py:windowed_spmm); degree
+        # math stays f32; weights cast inside edge_aggregate.
+        hd = h * dis[:, None].astype(h.dtype)
+        out = edge_aggregate(gather_src(hd, batch), batch, reduce="sum",
+                             weights=ew)
+        out = out * dis[:, None].astype(out.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         return out + bias.astype(out.dtype)
 
