@@ -86,22 +86,22 @@ def main():
 
     # --- ablations: stub a component group, re-time, attribute the delta.
     # Stubs keep shapes/dtypes so the rest of the graph is unchanged.
-    real_esm = AGG.edge_segment_mean
-    real_gd = AGG.gather_dst
-    real_sm = None
+    # (MEGNetBlock calls src_segment_mean/gather_dst since r5 — stub the
+    # names it actually calls, or the ablation silently measures ~0.)
+    real_sm = CONV.src_segment_mean
+    real_gd = CONV.gather_dst
 
-    def stub_esm(values, segment_ids, num_segments, mask):
-        return jnp.zeros((num_segments, values.shape[-1]), values.dtype)
+    def stub_sm(values, batch):
+        return jnp.zeros((batch.num_nodes, values.shape[-1]), values.dtype)
 
     def stub_gd(x, batch):
         return jnp.zeros((batch.num_edges, x.shape[-1]), x.dtype)
 
-    for name, patches in (
-        ("src_segment_means", [(CONV, "edge_segment_mean", stub_esm)]),
-        ("dst_gather", [(CONV, "gather_dst", stub_gd)]),
+    for name, attr, fn, real in (
+        ("src_segment_means", "src_segment_mean", stub_sm, real_sm),
+        ("dst_gather", "gather_dst", stub_gd, real_gd),
     ):
-        for mod, attr, fn in patches:
-            setattr(mod, attr, fn)
+        setattr(CONV, attr, fn)
         try:
             t = timeit(fwdbwd(), state.params)
             recs[f"minus_{name}_ms"] = t * 1e3
@@ -109,9 +109,7 @@ def main():
             log(f"minus {name}: {t*1e3:.2f} ms  (attribution "
                 f"{(base_t-t)*1e3:.2f} ms)")
         finally:
-            for mod, attr, _ in patches:
-                setattr(mod, attr, real_esm if attr == "edge_segment_mean"
-                        else real_gd)
+            setattr(CONV, attr, real)
 
     # node->graph pools + u broadcasts live inside the block; approximate
     # with isolated op timings at exact shapes:

@@ -73,9 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", default=None, type=int)
     parser.add_argument("--lr", default=None, type=float)
     parser.add_argument("--kernel", default=None, type=str,
-                        help="conv kernel path override: auto|csr|fused|"
-                             "pallas|xla (see config.yml Models notes)")
+                        choices=["auto", "csr", "fused", "pallas", "xla"],
+                        help="conv kernel path override (see config.yml "
+                             "Models notes)")
     parser.add_argument("--batching", default=None, type=str,
+                        choices=["padded", "packed"],
                         help="padded|packed (budget-packed batches)")
     return parser
 

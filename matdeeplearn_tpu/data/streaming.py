@@ -264,6 +264,42 @@ class StreamingGraphDataset:
 
     # -------------------------------------------------------- assembly
 
+    def _fill(self, ids, x, esrc, edst, ew, ed, ncounts,
+              node_graph=None, node_mask=None, edge_mask=None):
+        """Per-graph fill shared by assemble (full f32/i32 + host-built
+        masks) and assemble_wire (narrow dtypes; masks derived on device
+        by expand_wire). Returns (total_nodes, total_edges)."""
+        noff = 0
+        eoff = 0
+        for slot, gid in enumerate(ids):
+            if gid < 0:
+                continue
+            gx, _, gsrc, gdst, gw, gd = self.graph_arrays(int(gid))
+            n, e = len(gx), len(gsrc)
+            x[noff : noff + n] = gx
+            esrc[eoff : eoff + e] = (gsrc + noff).astype(esrc.dtype)
+            edst[eoff : eoff + e] = (gdst + noff).astype(edst.dtype)
+            ew[eoff : eoff + e] = gw
+            ed[eoff : eoff + e] = gd
+            ncounts[slot] = n
+            if node_graph is not None:
+                node_graph[noff : noff + n] = slot
+                node_mask[noff : noff + n] = 1.0
+                edge_mask[eoff : eoff + e] = 1.0
+            noff += n
+            eoff += e
+        return noff, eoff
+
+    def _targets_extra(self, ids_safe, gmask):
+        y2d = self.targets
+        if y2d.ndim == 1:
+            y2d = y2d[:, None]
+        y = y2d[ids_safe] * gmask[:, None].astype(y2d.dtype)
+        extra = None
+        if len(self.extra_features) == 1:
+            extra = next(iter(self.extra_features.values()))[ids_safe]
+        return y, extra
+
     def assemble(self, graph_ids: np.ndarray, spec: BatchSpec) -> GraphBatch:
         """Host-side batch assembly with semantics identical to
         batching.assemble_batch (parity-tested): -1 ids are pad slots, pad
@@ -283,33 +319,9 @@ class StreamingGraphDataset:
         node_mask = np.zeros(N, np.float32)
         edge_mask = np.zeros(E, np.float32)
         ncounts = np.zeros(B, np.int32)
-
-        noff = 0
-        eoff = 0
-        for slot, gid in enumerate(ids):
-            if gid < 0:
-                continue
-            gx, _, gsrc, gdst, gw, gd = self.graph_arrays(int(gid))
-            n, e = len(gx), len(gsrc)
-            x[noff : noff + n] = gx
-            node_graph[noff : noff + n] = slot
-            node_mask[noff : noff + n] = 1.0
-            esrc[eoff : eoff + e] = gsrc + noff
-            edst[eoff : eoff + e] = gdst + noff
-            ew[eoff : eoff + e] = gw
-            ed[eoff : eoff + e] = gd
-            edge_mask[eoff : eoff + e] = 1.0
-            ncounts[slot] = n
-            noff += n
-            eoff += e
-
-        y2d = self.targets
-        if y2d.ndim == 1:
-            y2d = y2d[:, None]
-        y = y2d[ids_safe] * gmask[:, None].astype(y2d.dtype)
-        extra = None
-        if len(self.extra_features) == 1:
-            extra = next(iter(self.extra_features.values()))[ids_safe]
+        self._fill(ids, x, esrc, edst, ew, ed, ncounts,
+                   node_graph, node_mask, edge_mask)
+        y, extra = self._targets_extra(ids_safe, gmask)
 
         return GraphBatch(
             x=jnp.asarray(x),
@@ -356,30 +368,8 @@ class StreamingGraphDataset:
         ew = np.zeros(E, np.float16)
         ed = np.zeros(E, np.float16)
         ncounts = np.zeros(B, np.int32)
-
-        noff = 0
-        eoff = 0
-        for slot, gid in enumerate(ids):
-            if gid < 0:
-                continue
-            gx, _, gsrc, gdst, gw, gd = self.graph_arrays(int(gid))
-            n, e = len(gx), len(gsrc)
-            x[noff : noff + n] = gx
-            esrc[eoff : eoff + e] = (gsrc + noff).astype(idx_t)
-            edst[eoff : eoff + e] = (gdst + noff).astype(idx_t)
-            ew[eoff : eoff + e] = gw
-            ed[eoff : eoff + e] = gd
-            ncounts[slot] = n
-            noff += n
-            eoff += e
-
-        y2d = self.targets
-        if y2d.ndim == 1:
-            y2d = y2d[:, None]
-        y = y2d[ids_safe] * gmask[:, None].astype(y2d.dtype)
-        extra = None
-        if len(self.extra_features) == 1:
-            extra = next(iter(self.extra_features.values()))[ids_safe]
+        _, eoff = self._fill(ids, x, esrc, edst, ew, ed, ncounts)
+        y, extra = self._targets_extra(ids_safe, gmask)
 
         return WireBatch(
             x=jnp.asarray(x),

@@ -389,11 +389,13 @@ class MEGNetBlock(nn.Module):
             comb_v, mask=batch.node_mask, training=training
         )
 
-        u_e = src_segment_mean(e_out, batch)
+        # u's edge mean reuses v_e (identical value; an opaque pallas_call
+        # is not CSE'd by XLA, so recomputing it would run the CSR kernel
+        # twice per block on the src-sorted path).
         # node→graph means stay on XLA segment ops by measurement (the
         # CSR pool is e2e-neutral here; see nn/pool.py:global_mean_pool)
         u_e = segment.segment_mean(
-            u_e, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
+            v_e, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask
         )[:num_graphs]
         u_v = segment.segment_mean(
             x, node_graph, num_segments=num_graphs + 1, mask=batch.node_mask

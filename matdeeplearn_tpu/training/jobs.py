@@ -117,6 +117,13 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
     LOUDLY — a user benchmarking a kernel must not silently get XLA
     numbers.
     """
+    if kernel not in ("auto", "xla", "csr", "fused", "pallas"):
+        # A typo'd kernel must not silently benchmark XLA (the loud-
+        # fallback contract below applies to VALID-but-unavailable
+        # requests; invalid strings are an error).
+        raise ValueError(
+            f"unknown kernel '{kernel}' — expected one of "
+            "auto|xla|csr|fused|pallas")
     on_tpu = jax.default_backend() == "tpu"
     eligible = model_name not in ("SM", "SOAP") and ep == 1 and not is_stream
     if kernel in ("pallas", "fused") and not eligible:

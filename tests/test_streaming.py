@@ -292,20 +292,17 @@ def test_wire_format_roundtrip(toy_dataset, sharded):
 
 
 def test_wire_training_matches_f32_wire_off(toy_dataset, tmp_path, sharded):
-    """stream_wire on/off train the same model class to similar errors and
-    the wire path runs end-to-end through the stream trainer."""
+    """wire on/off train the SAME trajectory within f16-payload tolerance:
+    per-epoch train errors from identical seeds/params must agree."""
     import jax
 
-    from matdeeplearn_tpu.training import jobs as J
     from matdeeplearn_tpu.training.stream import (
-        make_batch_eval_step,
         make_batch_train_step,
-        stream_trainer,
+        stream_train_epoch,
     )
     from matdeeplearn_tpu.models import build_model
     from matdeeplearn_tpu.training import train as T
     from matdeeplearn_tpu.training.optimizers import build_optimizer
-    from matdeeplearn_tpu.training.scheduler import build_scheduler
 
     spec = BatchSpec.for_dataset(
         toy_dataset.node_counts(), toy_dataset.edge_counts(), 6
@@ -314,17 +311,19 @@ def test_wire_training_matches_f32_wire_off(toy_dataset, tmp_path, sharded):
                                                "gc_count": 1})
     tx = build_optimizer("AdamW", 5e-3, {})
     sample = sharded.assemble(np.arange(6), spec)
+    step = make_batch_train_step(model, tx, "l1_loss")
     errs = {}
     for wire in (False, True):
         state = T.init_state(model, tx, sample, 0)
-        sched = build_scheduler("ReduceLROnPlateau", 5e-3, {})
-        best, last, _ = stream_trainer(
-            train_step=make_batch_train_step(model, tx, "l1_loss"),
-            eval_step=make_batch_eval_step(model, "l1_loss"),
-            sds=sharded, spec=spec, state=state, scheduler=sched,
-            train_idx=np.arange(12), val_idx=np.arange(12, 16),
-            batch_size=6, epochs=2, verbosity=0,
-            rng_key=jax.random.PRNGKey(0), wire=wire,
-        )
-        errs[wire] = True
-    assert errs[False] and errs[True]
+        key = jax.random.PRNGKey(0)
+        per_epoch = []
+        for epoch in range(2):
+            state, train_err, key, _ = stream_train_epoch(
+                step, sharded, spec, state, np.arange(12), 6, key,
+                shuffle_seed=epoch, wire=wire,
+            )
+            per_epoch.append(train_err)
+        errs[wire] = per_epoch
+    # identical seeds/params: only the f16 wire rounding differs
+    np.testing.assert_allclose(errs[True], errs[False], rtol=2e-3,
+                               atol=2e-3)
