@@ -72,7 +72,14 @@ import os as _os
 # fwd+bwd, one v5e, r5): te=128 → 15.9 ms, 256 → 16.1-16.5, 512 → 17.3,
 # 1024 → 20.1 — the W=te+128 window sets the one-hot matmul FLOPs, so
 # smaller chunks win until grid overhead bites. MDL_CSR_TE overrides.
-DEFAULT_TE = int(_os.environ.get("MDL_CSR_TE", "128"))
+try:
+    DEFAULT_TE = int(_os.environ.get("MDL_CSR_TE", "128"))
+except ValueError as _e:
+    raise ValueError(
+        f"MDL_CSR_TE={_os.environ['MDL_CSR_TE']!r} is not an integer"
+    ) from _e
+if DEFAULT_TE <= 0:
+    raise ValueError(f"MDL_CSR_TE must be positive, got {DEFAULT_TE}")
 EXTRA_W = 128  # window headroom over TE: 8-align of base + lane multiple
 NSUB = 8       # sub-chunks per grid step (amortizes ~6 µs/step overhead)
 # resident (N, D) block budget: beyond this the wrapper statically falls

@@ -142,6 +142,11 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
     )
     mpnn_fused = (model_name == "MPNN" and on_tpu
                   and kernel in ("auto", "fused", "csr"))
+    if model_name == "MPNN" and kernel == "fused" and not on_tpu:
+        # loud: the bilinear VMEM kernel is TPU-only (interpret mode would
+        # be pathologically slow); off-TPU the model runs the XLA einsum.
+        print("kernel=fused requested for MPNN off-TPU; the bilinear VMEM "
+              "kernel is TPU-only — running the XLA einsum path")
     use_csr = (
         not is_stream and model_name not in ("SM", "SOAP")
         and (kernel == "csr"
@@ -152,6 +157,13 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
                  and model_name in ("CGCNN", "GCN", "MEGNet", "MPNN",
                                     "SchNet")))
     )
+    if use_csr and ep > 1:
+        # loud: under ep>1 the edge arrays are sharded inside the manual
+        # region and every CSR call site no-ops via its is_edge_sharded
+        # guard — aggregations run XLA + halo exchange. The sorted layout
+        # is kept (harmless) but the kernels are inert.
+        print(f"kernel=csr with ep={ep}: edge shards disable the CSR "
+              "kernels (aggregations run XLA + ring halo exchange)")
     if kernel == "csr" and not use_csr:
         why = ("descriptor models have no edge aggregation"
                if model_name in ("SM", "SOAP")

@@ -60,12 +60,23 @@ def test_unavailable_falls_back_loudly(capsys):
     assert _resolve_kernel("SM", "csr", "padded", False, 1).name == "xla"
 
 
-def test_ep_shards_disable_windowed(monkeypatch):
+def test_ep_shards_disable_windowed(monkeypatch, capsys):
     _tpu(monkeypatch)
-    # ep>1 shards the edge dim — windowed arms off, csr still legal
-    # (its kernels no-op on sharded edges via the is_edge_sharded guards)
+    # ep>1 shards the edge dim — windowed arms off; csr stays on (layout
+    # harmless) but its kernels no-op on sharded edges, and the
+    # resolution says so LOUDLY
     assert not _resolve_kernel("CGCNN", "fused", "padded", False, 2).use_windowed
-    assert _resolve_kernel("CGCNN", "csr", "padded", False, 2).use_csr
+    plan = _resolve_kernel("CGCNN", "csr", "padded", False, 2)
+    assert plan.use_csr
+    assert "edge shards disable the CSR kernels" in capsys.readouterr().out
+
+
+def test_mpnn_fused_off_tpu_is_loud(capsys):
+    # the bilinear kernel is TPU-only; an explicit fused request off-TPU
+    # must not silently benchmark the einsum path
+    plan = _resolve_kernel("MPNN", "fused", "padded", False, 1)
+    assert plan.name == "xla"
+    assert "TPU-only" in capsys.readouterr().out
 
 
 def test_unknown_kernel_raises():
