@@ -1,7 +1,8 @@
 """Graph convolution primitives, re-derived from the PyG math the reference
 uses — not ported. Each layer operates on the static-shape padded batch
 (data/batching.py) with explicit masks; edge→node aggregation dispatches to
-the Pallas windowed MXU kernel or masked XLA segment ops (ops/aggregate.py).
+the CSR sorted segment kernels, the Pallas windowed MXU kernel or masked
+XLA segment ops per the resolved kernel mode (ops/aggregate.py).
 
 Reference operators being matched:
   * CGConv            (models/cgcnn.py:80-82; PyG gated crystal-graph conv)

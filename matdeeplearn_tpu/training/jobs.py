@@ -88,20 +88,22 @@ def _resolve_kernel(model_name: str, kernel: str, batching_req: str,
 
       auto    — the measured winner per model/batching: CGCNN×padded →
                 fused windowed CGConv (×1.04-1.4, grows with scale);
-                every packed GNN → csr (46k: CGCNN ×1.11, GCN ×1.59,
-                MEGNet ×1.64, SchNet ×1.41, MPNN csr+fused ×1.13);
-                MPNN otherwise → bilinear VMEM kernel (×3.4); XLA
-                otherwise. Resolves per backend — on CPU the Pallas arms
-                would run in (slow) interpret mode, so auto stays XLA
-                there.
+                every packed GNN → csr (46k final sweep: CGCNN ×1.21,
+                GCN ×1.75, MEGNet ×1.97, SchNet ×1.53, MPNN csr+fused
+                ×1.15); MPNN otherwise → bilinear VMEM kernel (×3.4);
+                XLA otherwise. Resolves per backend — on CPU the Pallas
+                arms would run in (slow) interpret mode, so auto stays
+                XLA there.
       xla     — masked XLA segment ops everywhere (the r1 baseline).
-      csr     — per-graph dst-sorted dataset order + the CSR Pallas
-                segment-reduce/gather (ops/pallas_csr.py) on every
-                aggregation and dst-side feature gather. Layout-free (no
-                windowed batching, zero extra edge slots), composes with
-                padded AND packed batching and with MPNN's bilinear
-                kernel (csr+fused). Unavailable for streaming (host
-                assembly uses the reference edge order).
+      csr     — per-graph sorted dataset edge order (csr_order: "dst",
+                or "src" for MEGNet whose aggregations are source-side)
+                + the CSR Pallas segment-reduce/gather
+                (ops/pallas_csr.py) on every aggregation and sorted-side
+                feature gather. Layout-free (no windowed batching, zero
+                extra edge slots), composes with padded AND packed
+                batching and with MPNN's bilinear kernel (csr+fused).
+                Unavailable for streaming (host assembly uses the
+                reference edge order).
       fused   — CGCNN/SchNet: windowed fused message-MLP+aggregation
                 kernels (ops/pallas_fused*.py; SchNet's arm measured
                 ×0.82 — an honest negative kept as an explicit opt-in);
