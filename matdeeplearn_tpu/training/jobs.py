@@ -348,7 +348,9 @@ def setup_run(
         "resolved: model={} kernel={} batching={} mesh=dp{}xep{} stream={} "
         "spec=(B={},N={},E={})".format(
             model_name,
-            plan.name,
+            # csr arms name their sorted side so A/B logs self-describe
+            (f"{plan.name}({plan.csr_order})" if plan.use_csr
+             else plan.name),
             "packed" if use_packed else "padded",
             dp, ep, "y" if is_stream else "n",
             spec.num_graphs, spec.num_nodes, spec.num_edges,
